@@ -1,0 +1,300 @@
+package graft
+
+import graft.apps._
+import graft.graph.SimpleGraph
+import graft.graphbuild.CoPurchase
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The driver-facing query catalog: every entry has a DataFrame
+  * implementation here and (when SQL-expressible) a DuckDB oracle in
+  * graft.oracle.OracleSql. Column names and rounding MUST stay in lockstep
+  * with the oracle (the driver hash-compares values under sorted column
+  * names). */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Per-vertex triangle counts, memoized per (session, dir) — shared by
+    * g_triangles, g_clustering and g_transitivity. */
+  private val triCache =
+    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+  private def triangleCounts(spark: SparkSession, dir: String): DataFrame =
+    triCache.synchronized {
+      triCache.getOrElseUpdate((spark, dir),
+        Triangles.run(CoPurchase.graph(spark, dir)))
+    }
+
+  // ---------- graph queries (part co-purchase graph) ----------
+
+  def degree(spark: SparkSession, dir: String): DataFrame =
+    CoPurchase.graph(spark, dir).outDegrees
+      .select(col("vid").cast("long").as("vid"),
+        col("deg").cast("long").as("degree"))
+
+  def pagerank(spark: SparkSession, dir: String): DataFrame =
+    PageRank.run(CoPurchase.graph(spark, dir))
+      .select(col("vid").cast("long").as("vid"),
+        round(col("rank"), 6).as("pr"))
+
+  def wcc(spark: SparkSession, dir: String): DataFrame =
+    WCC.run(CoPurchase.graph(spark, dir))
+      .select(col("vid").cast("long").as("vid"),
+        col("comp").cast("long").as("comp"))
+
+  def cdlp(spark: SparkSession, dir: String): DataFrame =
+    CDLP.run(CoPurchase.graph(spark, dir), maxRound = 10)
+      .select(col("vid").cast("long").as("vid"),
+        col("label").cast("long").as("label"))
+
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    triangleCounts(spark, dir)
+      .select(col("vid").cast("long").as("vid"),
+        col("triangles").cast("long").as("triangles"))
+
+  def clustering(spark: SparkSession, dir: String): DataFrame = {
+    val g = CoPurchase.graph(spark, dir)
+    triangleCounts(spark, dir).join(g.undirectedDegrees, "vid")
+      .select(col("vid").cast("long").as("vid"),
+        when(col("deg") < 2, lit(0.0))
+          .otherwise(lit(2.0) * col("triangles").cast("double")
+            / (col("deg") * (col("deg") - lit(1L))).cast("double"))
+          .as("coeff"))
+  }
+
+  def transitivity(spark: SparkSession, dir: String): DataFrame = {
+    val g = CoPurchase.graph(spark, dir)
+    val ts = triangleCounts(spark, dir)
+      .agg(sum(col("triangles")).cast("double").as("tsum"))
+    val ws = g.undirectedDegrees
+      .agg((sum(col("deg") * (col("deg") - lit(1L))).cast("double")
+        / lit(2.0)).as("wsum"))
+    ts.crossJoin(ws)
+      .select((col("tsum") / col("wsum")).as("transitivity"))
+  }
+
+  def degreeCentrality(spark: SparkSession, dir: String): DataFrame =
+    Centrality.degree(CoPurchase.graph(spark, dir))
+      .select(col("vid").cast("long").as("vid"), col("centrality"))
+
+  private def minVid(g: SimpleGraph): Long =
+    g.vertices.agg(min(col("vid"))).head().getLong(0)
+
+  def bfs(spark: SparkSession, dir: String): DataFrame = {
+    val g = CoPurchase.graph(spark, dir)
+    BFS.run(g, minVid(g))
+      .select(col("vid").cast("long").as("vid"),
+        col("depth").cast("long").as("depth"))
+  }
+
+  def sssp(spark: SparkSession, dir: String): DataFrame = {
+    val g = CoPurchase.weighted(CoPurchase.graph(spark, dir))
+    SSSP.run(g, minVid(g)).select(col("vid").cast("long").as("vid"),
+      col("dist"))
+  }
+
+  def kcore(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    KCore.run(CoPurchase.graph(spark, dir), k)
+      .select(col("vid").cast("long").as("vid"),
+        col("in_core").cast("long").as("in_core"))
+
+  // No SQL oracle for the following (tolerance-gated iteration counts);
+  // covered by in-JVM oracles in ScalaTest.
+
+  def hits(spark: SparkSession, dir: String): DataFrame =
+    HITS.run(CoPurchase.graph(spark, dir))
+      .select(col("vid").cast("long").as("vid"),
+        round(col("hub"), 6).as("hub"), round(col("auth"), 6).as("auth"))
+
+  def eigenvector(spark: SparkSession, dir: String): DataFrame =
+    Centrality.eigenvector(CoPurchase.graph(spark, dir))
+      .select(col("vid").cast("long").as("vid"),
+        round(col("centrality"), 6).as("centrality"))
+
+  def katz(spark: SparkSession, dir: String): DataFrame =
+    Centrality.katz(CoPurchase.graph(spark, dir))
+      .select(col("vid").cast("long").as("vid"),
+        round(col("centrality"), 6).as("centrality"))
+
+  def kshell(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    KShell.run(CoPurchase.graph(spark, dir), k)
+      .select(col("vid").cast("long").as("vid"),
+        col("in_shell").cast("long").as("in_shell"))
+
+  // ---------- interactive (Gremlin §2.4) operator surface ----------
+
+  def iFilter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .where(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+        && col("c_acctbal") > 1000.0 && col("c_name").endsWith("1"))
+      .select("c_custkey", "c_name", "c_acctbal")
+
+  def iOutJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+    val c = t(spark, dir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .select("o_orderkey", "c_custkey", "c_mktsegment")
+  }
+
+  def iGroupCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").groupBy(col("o_orderpriority").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+
+  def iOrderLimit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select("o_orderkey", "o_totalprice").limit(20)
+
+  def iRangeLocal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .select(col("o_custkey").as("c_custkey"), col("o_orderkey"),
+        col("o_totalprice"), row_number().over(w).as("rn"))
+      .where(col("rn") <= 2).drop("rn")
+  }
+
+  def iDedup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").select("o_custkey", "o_orderstatus").distinct()
+
+  def iUnion(spark: SparkSession, dir: String): DataFrame = {
+    val a = t(spark, dir, "customer").where(col("c_acctbal") < 0.0)
+      .select("c_custkey")
+    val b = t(spark, dir, "orders").where(col("o_totalprice") > 300000.0)
+      .select(col("o_custkey").as("c_custkey"))
+    a.unionByName(b)
+  }
+
+  def iSemiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders").select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+
+  def iAntiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders").select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  def iAggs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").groupBy("o_custkey").agg(
+      count(lit(1)).as("cnt"),
+      round(sum(col("o_totalprice")), 4).as("total"),
+      round(max(col("o_totalprice")), 4).as("mx"),
+      round(min(col("o_totalprice")), 4).as("mn"))
+
+  def iMath(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * (lit(1.0) + col("l_tax"))).as("charge"))
+
+  /** FOLD then UNFOLD (collect_list -> explode) == identity. */
+  def iFoldUnfold(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_custkey").agg(collect_list(col("o_orderkey")).as("ks"))
+      .select(col("o_custkey"), explode(col("ks")).as("o_orderkey"))
+
+  // ---------- documents / training-data ops ----------
+
+  def dExactDedup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").groupBy("text").agg(
+      min(col("doc_id")).cast("long").as("canonical_id"),
+      count(lit(1)).cast("long").as("n_dups"))
+      .select("canonical_id", "n_dups")
+
+  private def nTokens = (length(col("text"))
+    - length(replace(col("text"), lit(" "), lit(""))) + lit(1))
+
+  def dTokenCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(col("doc_id"),
+      nTokens.cast("long").as("n_tokens"))
+
+  def dQuality(spark: SparkSession, dir: String): DataFrame = {
+    val noSpace = length(replace(col("text"), lit(" "), lit("")))
+    val stopCnt = (length(col("text"))
+      - length(replace(col("text"), lit("the"), lit("")))) / lit(3)
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_m"),
+      nTokens.cast("long").as("n_tokens"),
+      (noSpace.cast("double") / nTokens.cast("double"))
+        .as("avg_token_len"),
+      (stopCnt.cast("double") / nTokens.cast("double"))
+        .as("stop_ratio"))
+  }
+
+  /** Pregel-variant PageRank (no dangling redistribution,
+    * apps/pregel/pagerank_pregel.h) over the co-purchase graph — also
+    * exercises the generic Pregel runner end-to-end. */
+  def pregelPagerank(spark: SparkSession, dir: String): DataFrame =
+    graft.pregel.Pregel.pagerankPregel(CoPurchase.graph(spark, dir))
+      .select(col("vid").cast("long").as("vid"),
+        round(col("rank"), 6).as("pr"))
+
+  def dMinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Dedup.minhashPairs(t(spark, dir, "documents"))
+      .select(col("id_a"), col("id_b"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+
+  def dSimhash(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Dedup.simhash(t(spark, dir, "documents"))
+
+  def dNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Dedup.ngramJaccardPairs(t(spark, dir, "documents"))
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+
+  def dFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(col("doc_id"),
+      graft.text.TextStats.fingerprint(col("text")).as("fingerprint"))
+
+  private def annQueries(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings").where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").as("q_embedding"))
+
+  def eAnnTopk(spark: SparkSession, dir: String): DataFrame =
+    graft.sim.Ann.bruteForceTopK(
+      t(spark, dir, "embeddings").select("vec_id", "embedding"),
+      annQueries(spark, dir), k = 10)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"),
+        col("rank"))
+
+  def eAnnLsh(spark: SparkSession, dir: String): DataFrame =
+    graft.sim.Ann.lshTopK(
+      t(spark, dir, "embeddings").select("vec_id", "embedding"),
+      annQueries(spark, dir), k = 10)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"),
+        col("rank"))
+
+  def eCosNearDup(spark: SparkSession, dir: String): DataFrame =
+    graft.sim.Ann.cosineNearDupPairs(
+      t(spark, dir, "embeddings").select("vec_id", "embedding"),
+      threshold = 0.9)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+
+  def mMediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.extractFeatures(
+      graft.multimodal.Multimodal.mediaFromDocuments(spark, dir))
+      .toDF().select("media_id", "kind", "n_bytes", "payload_hash",
+        "frames_sampled")
+
+  def dLangId(spark: SparkSession, dir: String): DataFrame = {
+    def cnt(w: String) = (length(col("text"))
+      - length(replace(col("text"), lit(w), lit("")))) / lit(w.length)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), cnt(" the ").as("en"), cnt(" der ").as("de"),
+        cnt(" el ").as("es"), cnt(" le ").as("fr"))
+      .select(col("doc_id"),
+        when(col("en") >= col("de") && col("en") >= col("es")
+          && col("en") >= col("fr"), lit("en"))
+          .when(col("de") >= col("es") && col("de") >= col("fr"), lit("de"))
+          .when(col("es") >= col("fr"), lit("es"))
+          .otherwise(lit("fr")).as("lang_pred"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.apps
+
+import graft.graph.SimpleGraph
+import graft.pregel.{CheckpointConfig, Iterate}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Level-synchronous BFS — depth per vertex from `source`, -1 if
+  * unreachable (reference: apps/bfs/bfs_generic.h, level/"depth" output
+  * format; grape::BFSAuto registered in .gs_conf.yaml).
+  *
+  * The frontier is the set of vertices first reached last round; each round
+  * joins only the frontier against the edges (the reference's current-level
+  * queue), so late rounds are cheap.
+  */
+object BFS {
+
+  def run(
+      g: SimpleGraph,
+      source: Long,
+      depthLimit: Int = Int.MaxValue,
+      numPartitions: Int = 0,
+      checkpoint: CheckpointConfig = CheckpointConfig()): DataFrame = {
+    val spark = g.spark
+    val p = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val maxRounds = math.min(depthLimit.toLong, 10000L).toInt
+
+    val edges = g.edges.select("src", "dst").repartition(p, col("src"))
+      .persist()
+
+    // state: (vid, depth [-1 = unreached], _changed = in current frontier)
+    val init = g.vertices.select(
+      col("vid"),
+      when(col("vid") === source, lit(0L)).otherwise(lit(-1L)).as("depth"),
+      when(col("vid") === source, lit(1)).otherwise(lit(0)).as("_changed"))
+      .repartition(p, col("vid"))
+
+    val res = Iterate.run(
+      init, maxRounds,
+      step = (state, round) => {
+        val frontier = state.where(col("_changed") === 1)
+          .select(col("vid").as("src"))
+        val reached = edges.join(frontier, "src")
+          .select(col("dst").as("vid")).distinct()
+        state.join(reached.withColumn("hit", lit(1)), Seq("vid"), "left")
+          .select(
+            col("vid"),
+            when(col("depth") >= 0, col("depth"))
+              .when(col("hit") === 1, lit(round.toLong))
+              .otherwise(lit(-1L)).as("depth"),
+            when(col("depth") < 0 && col("hit") === 1, lit(1))
+              .otherwise(lit(0)).as("_changed"))
+      },
+      stopWhenUnchanged = true,
+      checkpoint = checkpoint)
+
+    edges.unpersist()
+    res.state.select("vid", "depth")
+  }
+}

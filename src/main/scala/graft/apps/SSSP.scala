@@ -1,0 +1,63 @@
+package graft.apps
+
+import graft.graph.SimpleGraph
+import graft.pregel.{CheckpointConfig, Iterate}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Single-source shortest paths (weighted, double) — the reference's
+  * sssp_projected (apps/projected/sssp_projected.h:66-170) runs per-fragment
+  * Dijkstra and exchanges boundary relaxations until fixpoint; the
+  * distributed fixpoint is exactly frontier Bellman-Ford, which is what we
+  * run: each round relaxes edges out of vertices whose distance improved.
+  *
+  * Unreachable = DBL_MAX in the reference (surfaced as inf,
+  * python/tests/test_app.py:200-202); we emit -1.0 as the portable sentinel
+  * (documented in OracleSql.sssp).
+  */
+object SSSP {
+
+  def run(
+      g: SimpleGraph,
+      source: Long,
+      maxRounds: Int = 10000,
+      numPartitions: Int = 0,
+      checkpoint: CheckpointConfig = CheckpointConfig()): DataFrame = {
+    require(g.hasWeight, "SSSP needs a weight column")
+    val spark = g.spark
+    val p = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+
+    val edges = g.edges.select("src", "dst", "weight")
+      .repartition(p, col("src")).persist()
+
+    val inf = Double.MaxValue
+    val init = g.vertices.select(
+      col("vid"),
+      when(col("vid") === source, lit(0.0)).otherwise(lit(inf)).as("dist"),
+      when(col("vid") === source, lit(1)).otherwise(lit(0)).as("_changed"))
+      .repartition(p, col("vid"))
+
+    val res = Iterate.run(
+      init, maxRounds,
+      step = (state, _) => {
+        val frontier = state.where(col("_changed") === 1)
+          .select(col("vid").as("src"), col("dist"))
+        val relax = edges.join(frontier, "src")
+          .groupBy(col("dst").as("vid"))
+          .agg(min(col("dist") + col("weight")).as("nd"))
+        state.join(relax, Seq("vid"), "left").select(
+          col("vid"),
+          least(col("dist"), coalesce(col("nd"), col("dist"))).as("dist"),
+          when(coalesce(col("nd"), col("dist")) < col("dist"), lit(1))
+            .otherwise(lit(0)).as("_changed"))
+      },
+      stopWhenUnchanged = true,
+      checkpoint = checkpoint)
+
+    edges.unpersist()
+    res.state.select(col("vid"),
+      when(col("dist") === inf, lit(-1.0)).otherwise(col("dist"))
+        .as("dist"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.apps
+
+import graft.graph.SimpleGraph
+import graft.pregel.{CheckpointConfig, Iterate}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weakly connected components: propagate the minimum vertex id over the
+  * symmetric closure of the edges until fixpoint — the reference's
+  * WCCProjected (analytical_engine/apps/projected/wcc_projected.h:74-121:
+  * init comp=gid, relax over out+in adjacency, frontier = modified set,
+  * terminate when nothing changed).
+  *
+  * The reference labels components by min *gid* (partition-dependent bit
+  * encoding); we label by min *vid*, which is partition-invariant — the
+  * user-visible component partition is identical (SURVEY.md §7.4).
+  *
+  * Frontier optimization (the reference's curr_modified set,
+  * wcc_projected.h:122-178): only vertices whose label changed last round
+  * send messages, so late rounds touch a tiny frontier instead of the full
+  * edge set.
+  */
+object WCC {
+
+  def run(
+      g: SimpleGraph,
+      maxRounds: Int = 200,
+      numPartitions: Int = 0,
+      checkpoint: CheckpointConfig = CheckpointConfig()): DataFrame =
+    runWithRounds(g, maxRounds, numPartitions, checkpoint)._1
+
+  /** Like run, also returning the number of IncEval rounds executed
+    * (for the edges/sec/iteration bench metric). */
+  def runWithRounds(
+      g: SimpleGraph,
+      maxRounds: Int = 200,
+      numPartitions: Int = 0,
+      checkpoint: CheckpointConfig = CheckpointConfig())
+      : (DataFrame, Int) = {
+    val spark = g.spark
+    val p = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+
+    val edges = g.undirectedDedup.repartition(p, col("src")).persist()
+
+    // state: (vid, comp, _changed); round 0 = PEval: everyone "changed".
+    val init = g.vertices
+      .select(col("vid"), col("vid").as("comp"), lit(1).as("_changed"))
+      .repartition(p, col("vid"))
+
+    val res = Iterate.run(
+      init, maxRounds,
+      step = (state, _) => {
+        val frontier = state.where(col("_changed") === 1)
+          .select(col("vid").as("src"), col("comp"))
+        val msgs = edges.join(frontier, "src")
+          .groupBy(col("dst").as("vid")).agg(min(col("comp")).as("mc"))
+        state.join(msgs, Seq("vid"), "left").select(
+          col("vid"),
+          least(col("comp"), coalesce(col("mc"), col("comp"))).as("comp"),
+          when(coalesce(col("mc"), col("comp")) < col("comp"), lit(1))
+            .otherwise(lit(0)).as("_changed"))
+      },
+      stopWhenUnchanged = true,
+      checkpoint = checkpoint)
+
+    edges.unpersist()
+    (res.state.select("vid", "comp"), res.completedRounds)
+  }
+}

@@ -1,0 +1,135 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A "simple graph" in the reference's sense: one vertex set, one edge set,
+  * at most one edge property (weight).
+  *
+  * Mirrors the capability of `gs::ArrowProjectedFragment`
+  * (reference: analytical_engine/core/fragment/arrow_projected_fragment.h:336)
+  * re-expressed as two Datasets. Columns are fixed:
+  *   vertices: (vid: long [, ...state])
+  *   edges:    (src: long, dst: long [, weight: double])
+  *
+  * `directed = false` means `edges` already materializes BOTH directions of
+  * every undirected edge (the reference converts likewise on TO_UNDIRECTED:
+  * python/graphscope/framework/dag_utils.py:513).
+  */
+final case class SimpleGraph(
+    vertices: DataFrame,
+    edges: DataFrame,
+    directed: Boolean) {
+
+  def spark: SparkSession = vertices.sparkSession
+
+  def hasWeight: Boolean = edges.columns.contains("weight")
+
+  /** Both-direction edge view, for algorithms that traverse in+out
+    * (LoadStrategy::kBothOutIn). For undirected graphs edges are already
+    * symmetric; for directed graphs union the reverse (no dedup — an edge
+    * present in both directions counts twice, matching in+out neighbor
+    * multisets). */
+  def bothDirections: DataFrame =
+    if (!directed) edges
+    else edges.unionByName(SimpleGraph.reverseEdges(edges))
+
+  /** Undirected view with deduplicated neighbor sets (for WCC, k-core,
+    * triangles): symmetric closure, self-loops dropped, multi-edges merged. */
+  def undirectedDedup: DataFrame = {
+    val base = edges.select("src", "dst").where(col("src") =!= col("dst"))
+    base.unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
+  /** Canonical (src < dst) deduplicated undirected edge list. */
+  def canonicalPairs: DataFrame = {
+    val e = edges.select("src", "dst").where(col("src") =!= col("dst"))
+    e.select(
+        least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct()
+  }
+
+  /** Out-degree per vertex (vid, deg) — vertices with no out edges get 0.
+    * Reference keeps the same per-vertex degree array
+    * (benchmarks/apps/pagerank/pagerank.h:106-109). */
+  def outDegrees: DataFrame = {
+    val d = edges.groupBy(col("src").as("vid")).agg(count(lit(1)).as("deg"))
+    vertices.select("vid").join(d, Seq("vid"), "left")
+      .select(col("vid"), coalesce(col("deg"), lit(0L)).as("deg"))
+  }
+
+  /** In-degree per vertex. */
+  def inDegrees: DataFrame = {
+    val d = edges.groupBy(col("dst").as("vid")).agg(count(lit(1)).as("deg"))
+    vertices.select("vid").join(d, Seq("vid"), "left")
+      .select(col("vid"), coalesce(col("deg"), lit(0L)).as("deg"))
+  }
+
+  /** Degree on the deduplicated undirected view (neighbor-set size). */
+  def undirectedDegrees: DataFrame = {
+    val d = undirectedDedup.groupBy(col("src").as("vid"))
+      .agg(count(lit(1)).as("deg"))
+    vertices.select("vid").join(d, Seq("vid"), "left")
+      .select(col("vid"), coalesce(col("deg"), lit(0L)).as("deg"))
+  }
+
+  def numVertices: Long = vertices.count()
+  def numEdges: Long = edges.count()
+
+  /** COPY_GRAPH reversed (dag_utils.py:461 / grape_instance.cc:604). */
+  def reverse: SimpleGraph =
+    copy(edges = SimpleGraph.reverseEdges(edges))
+
+  /** TO_UNDIRECTED (dag_utils.py:513): symmetric closure, deduped. */
+  def toUndirected: SimpleGraph =
+    if (!directed) this
+    else {
+      val w = if (hasWeight) Seq(col("weight")) else Nil
+      val e = edges.select(col("src") +: col("dst") +: w: _*)
+      val r = e.select(col("dst").as("src") +: col("src").as("dst") +: w: _*)
+      copy(edges = e.unionByName(r).dropDuplicates("src", "dst"),
+        directed = false)
+    }
+
+  /** INDUCE_SUBGRAPH by vertex list (dag_utils.py:606 /
+    * grape_instance.cc:659): keep edges with both endpoints in `keep`. */
+  def induceSubgraph(keep: DataFrame): SimpleGraph = {
+    val k = keep.select(col(keep.columns.head).as("vid")).distinct()
+    val v2 = vertices.join(k, Seq("vid"), "left_semi")
+    val e2 = edges
+      .join(k.select(col("vid").as("src")), Seq("src"), "left_semi")
+      .join(k.select(col("vid").as("dst")), Seq("dst"), "left_semi")
+    SimpleGraph(v2, e2, directed)
+  }
+
+  /** ADD_COLUMN (dag_utils.py:783 / grape_instance.cc:539): attach an
+    * algorithm result column to the vertices. */
+  def addColumn(result: DataFrame): SimpleGraph =
+    copy(vertices = vertices.join(result, Seq("vid"), "left"))
+
+  /** Hash-partition edges by src and cache — the analogue of the reference's
+    * edge-cut fragment placement (arrow_fragment_loader.h:65). Iterative apps
+    * call this once so the per-superstep `join(state, "src")` reuses the
+    * exchange instead of reshuffling the (large) edge side every round. */
+  def partitioned(numPartitions: Int): SimpleGraph = {
+    val e = edges.repartition(numPartitions, col("src"))
+    val v = vertices.repartition(numPartitions, col("vid"))
+    SimpleGraph(v, e, directed)
+  }
+}
+
+object SimpleGraph {
+  private[graph] def reverseEdges(edges: DataFrame): DataFrame = {
+    val w = if (edges.columns.contains("weight")) Seq(col("weight")) else Nil
+    edges.select(col("dst").as("src") +: col("src").as("dst") +: w: _*)
+  }
+
+  /** Build from an arbitrary edge DataFrame; vertex set = endpoints. */
+  def fromEdges(edges: DataFrame, directed: Boolean): SimpleGraph = {
+    val verts = edges.select(col("src").as("vid"))
+      .unionByName(edges.select(col("dst").as("vid"))).distinct()
+    SimpleGraph(verts, edges, directed)
+  }
+}

@@ -1,0 +1,429 @@
+package graft.oracle
+
+/** ANSI-SQL oracles for every SQL-expressible SparkEntry query, runnable by
+  * DuckDB (the driver) and by Spark SQL (our cross-check in
+  * OracleConsistencySpec). Iterative graph algorithms are unrolled into
+  * chained CTEs — fixed-round algorithms (PageRank 10, CDLP 10) unroll their
+  * exact round count; fixpoint algorithms (WCC, BFS, SSSP) unroll past the
+  * measured convergence round of the co-purchase graph (asserted in tests).
+  *
+  * Keep everything dialect-neutral: no backticks, no engine-specific
+  * functions — LEAST/COALESCE/CASE/ROW_NUMBER/CAST/ROUND only. Float outputs
+  * are rounded to 6 decimals on BOTH sides so ~1e-15 cross-engine
+  * aggregation-order noise cannot flip the driver's hash compare.
+  */
+object OracleSql {
+
+  /** Mark every CTE MATERIALIZED for DuckDB. DuckDB (like Spark) INLINES
+    * plain CTEs; the unrolled iterative oracles reference the previous
+    * round's CTE 2-3 times per round, so inlining expands the plan
+    * exponentially (measured: g_cdlp went from >20s timeout to 0.3s, and
+    * WCC/BFS/SSSP/k-core from fd-exhaustion crashes to <0.3s).
+    * The only `<ident> AS (` token sequences in this file's SQL are CTE
+    * heads (column aliases are never followed by an open paren). */
+  def materialize(sql: String): String =
+    sql.replaceAll("""(\b\w+ AS) \(""", "$1 MATERIALIZED (")
+
+  /** Shared derivation of the part co-purchase graph (mirrors
+    * graft.graphbuild.CoPurchase exactly). */
+  val graphCtes: String =
+    """pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |edges AS (
+      |  SELECT src, dst FROM pairs
+      |  UNION ALL
+      |  SELECT dst AS src, src AS dst FROM pairs),
+      |verts AS (SELECT DISTINCT l_partkey AS vid FROM lineitem),
+      |degt AS (SELECT src AS vid, COUNT(*) AS deg FROM edges GROUP BY src)
+      |""".stripMargin
+
+  val degree: String =
+    s"""WITH $graphCtes
+       |SELECT CAST(v.vid AS BIGINT) AS vid,
+       |       CAST(COALESCE(d.deg, 0) AS BIGINT) AS degree
+       |FROM verts v LEFT JOIN degt d ON v.vid = d.vid
+       |""".stripMargin
+
+  /** PageRank, reference semantics (see graft.apps.PageRank), 10 rounds
+    * unrolled; the dangling-mass scalar recurrence is chained through
+    * scalar CTEs s0,b1,s1,b2,... exactly as the driver-side doubles. */
+  def pagerank(rounds: Int = 10, delta: Double = 0.85): String = {
+    val d = delta.toString
+    val sb = new StringBuilder
+    sb ++= s"WITH $graphCtes,\n"
+    sb ++=
+      """v AS (SELECT verts.vid, COALESCE(degt.deg, 0) AS deg
+        |      FROM verts LEFT JOIN degt ON verts.vid = degt.vid),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |              CAST(SUM(CASE WHEN deg = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |                AS ndang FROM v),
+        |r0 AS (SELECT vid, deg, (SELECT 1.0 / n FROM nn) AS pr FROM v),
+        |s0 AS (SELECT n, ndang, (1.0 / n) * ndang AS ds FROM nn)
+        |""".stripMargin
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb ++= s""",
+        |b$i AS (SELECT n, ndang, (1.0 - $d) / n + $d * ds / n AS base
+        |        FROM s$p),
+        |r$i AS (SELECT v.vid, v.deg,
+        |         CASE WHEN v.deg = 0 THEN (SELECT base FROM b$i)
+        |              ELSE $d * COALESCE(m.s, 0.0) + (SELECT base FROM b$i)
+        |         END AS pr
+        |        FROM v LEFT JOIN (
+        |          SELECT e.dst AS vid, SUM(r.pr / r.deg) AS s
+        |          FROM edges e JOIN r$p r ON e.src = r.vid AND r.deg > 0
+        |          GROUP BY e.dst) m ON v.vid = m.vid),
+        |s$i AS (SELECT n, ndang, base * ndang AS ds FROM b$i)
+        |""".stripMargin
+    }
+    sb ++= s"\nSELECT CAST(vid AS BIGINT) AS vid, ROUND(pr, 6) AS pr" +
+      s" FROM r$rounds\n"
+    sb.toString
+  }
+
+  /** Pregel-variant PageRank (apps/pregel/pagerank_pregel.h:43-94):
+    * no dangling redistribution, r' = d*Σ msgs + (1-d)/N, fixed rounds. */
+  def pregelPagerank(rounds: Int = 10, delta: Double = 0.85): String = {
+    val d = delta.toString
+    val sb = new StringBuilder
+    sb ++= s"WITH $graphCtes,\n"
+    sb ++=
+      """v AS (SELECT verts.vid, COALESCE(degt.deg, 0) AS deg
+        |      FROM verts LEFT JOIN degt ON verts.vid = degt.vid),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+        |r0 AS (SELECT vid, deg, (SELECT 1.0 / n FROM nn) AS pr FROM v)
+        |""".stripMargin
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb ++= s""",
+        |r$i AS (SELECT v.vid, v.deg,
+        |         $d * COALESCE(m.s, 0.0)
+        |           + (SELECT (1.0 - $d) / n FROM nn) AS pr
+        |        FROM v LEFT JOIN (
+        |          SELECT e.dst AS vid, SUM(r.pr / r.deg) AS s
+        |          FROM edges e JOIN r$p r ON e.src = r.vid AND r.deg > 0
+        |          GROUP BY e.dst) m ON v.vid = m.vid)
+        |""".stripMargin
+    }
+    sb ++= s"\nSELECT CAST(vid AS BIGINT) AS vid, ROUND(pr, 6) AS pr" +
+      s" FROM r$rounds\n"
+    sb.toString
+  }
+
+  /** WCC min-label propagation unrolled `rounds` times (>= graph diameter —
+    * convergence asserted in OracleConsistencySpec). */
+  def wcc(rounds: Int = 25): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $graphCtes,\n"
+    sb ++= "l0 AS (SELECT vid, vid AS comp FROM verts)\n"
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb ++= s""",
+        |l$i AS (SELECT t.vid,
+        |         LEAST(t.comp, COALESCE(m.mc, t.comp)) AS comp
+        |        FROM l$p t LEFT JOIN (
+        |          SELECT e.dst AS vid, MIN(l.comp) AS mc
+        |          FROM edges e JOIN l$p l ON e.src = l.vid
+        |          GROUP BY e.dst) m ON t.vid = m.vid)
+        |""".stripMargin
+    }
+    sb ++= s"\nSELECT CAST(vid AS BIGINT) AS vid, CAST(comp AS BIGINT)" +
+      s" AS comp FROM l$rounds\n"
+    sb.toString
+  }
+
+  /** CDLP: mode of neighbor labels, min tiebreak, exactly `rounds` rounds
+    * (LDBC semantics, see graft.apps.CDLP). */
+  def cdlp(rounds: Int = 10): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $graphCtes,\n"
+    sb ++= "c0 AS (SELECT vid, vid AS label FROM verts)\n"
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb ++= s""",
+        |g$i AS (SELECT e.dst AS vid, l.label, COUNT(*) AS cnt
+        |        FROM edges e JOIN c$p l ON e.src = l.vid
+        |        GROUP BY e.dst, l.label),
+        |p$i AS (SELECT vid, label FROM (
+        |          SELECT vid, label,
+        |            ROW_NUMBER() OVER (PARTITION BY vid
+        |              ORDER BY cnt DESC, label ASC) AS rn
+        |          FROM g$i) x WHERE rn = 1),
+        |c$i AS (SELECT t.vid, COALESCE(p.label, t.label) AS label
+        |        FROM c$p t LEFT JOIN p$i p ON t.vid = p.vid)
+        |""".stripMargin
+    }
+    sb ++= s"\nSELECT CAST(vid AS BIGINT) AS vid, CAST(label AS BIGINT)" +
+      s" AS label FROM c$rounds\n"
+    sb.toString
+  }
+
+  /** Oriented wedge-join triangle counting (see graft.apps.Triangles). */
+  private val triangleCtes: String =
+    """orient AS (
+      |  SELECT CASE WHEN da.deg <= db.deg THEN u.src ELSE u.dst END AS src,
+      |         CASE WHEN da.deg <= db.deg THEN u.dst ELSE u.src END AS dst
+      |  FROM pairs u JOIN degt da ON u.src = da.vid
+      |               JOIN degt db ON u.dst = db.vid),
+      |tri AS (
+      |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      |  FROM orient e1
+      |  JOIN orient e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+      |  JOIN orient e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+      |corners AS (
+      |  SELECT a AS vid FROM tri
+      |  UNION ALL SELECT b AS vid FROM tri
+      |  UNION ALL SELECT c AS vid FROM tri),
+      |tcnt AS (SELECT vid, COUNT(*) AS triangles FROM corners GROUP BY vid)
+      |""".stripMargin
+
+  val triangles: String =
+    s"""WITH $graphCtes, $triangleCtes
+       |SELECT CAST(v.vid AS BIGINT) AS vid,
+       |       CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles
+       |FROM verts v LEFT JOIN tcnt t ON v.vid = t.vid
+       |""".stripMargin
+
+  /** Local clustering coefficient = 2*tri/(deg*(deg-1)), 0 when deg < 2
+    * (reference: apps/clustering/clustering.h, undirected form). */
+  val clustering: String =
+    s"""WITH $graphCtes, $triangleCtes
+       |SELECT CAST(v.vid AS BIGINT) AS vid,
+       |       CAST(CASE WHEN COALESCE(d.deg, 0) < 2 THEN 0.0
+       |            ELSE 2.0 * CAST(COALESCE(t.triangles, 0) AS DOUBLE)
+       |                 / CAST(d.deg * (d.deg - 1) AS DOUBLE) END
+       |         AS DOUBLE) AS coeff
+       |FROM verts v LEFT JOIN degt d ON v.vid = d.vid
+       |            LEFT JOIN tcnt t ON v.vid = t.vid
+       |""".stripMargin
+
+  /** Global transitivity = 3*triangles/wedges = sum(per-vertex tri)/wedges
+    * (reference: apps/clustering/transitivity.h). */
+  val transitivity: String =
+    s"""WITH $graphCtes, $triangleCtes,
+       |ts AS (SELECT CAST(COALESCE(SUM(triangles), 0) AS DOUBLE) AS tsum
+       |       FROM tcnt),
+       |ws AS (SELECT CAST(SUM(deg * (deg - 1)) AS DOUBLE) / 2.0 AS wsum
+       |       FROM degt)
+       |SELECT ts.tsum / ws.wsum AS transitivity
+       |FROM ts CROSS JOIN ws
+       |""".stripMargin
+
+  /** Degree centrality = deg/(n-1)
+    * (reference: apps/centrality/degree/degree_centrality.h, both-degree). */
+  val degreeCentrality: String =
+    s"""WITH $graphCtes,
+       |nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)
+       |SELECT CAST(v.vid AS BIGINT) AS vid,
+       |       COALESCE(d.deg, 0) / ((SELECT n FROM nv) - 1.0)
+       |         AS centrality
+       |FROM verts v LEFT JOIN degt d ON v.vid = d.vid
+       |""".stripMargin
+
+  /** BFS depth from the smallest vid, unrolled; unreached = -1
+    * (reference: apps/bfs/bfs_generic.h level semantics). */
+  def bfs(rounds: Int = 15): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $graphCtes,\n"
+    sb ++=
+      """d0 AS (SELECT vid,
+        |        CASE WHEN vid = (SELECT MIN(vid) FROM verts)
+        |             THEN 0 ELSE NULL END AS depth
+        |       FROM verts)
+        |""".stripMargin
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb ++= s""",
+        |d$i AS (SELECT t.vid,
+        |         CASE WHEN t.depth IS NOT NULL THEN t.depth
+        |              WHEN m.vid IS NOT NULL THEN $i ELSE NULL END AS depth
+        |        FROM d$p t LEFT JOIN (
+        |          SELECT DISTINCT e.dst AS vid
+        |          FROM edges e JOIN d$p l ON e.src = l.vid
+        |          WHERE l.depth IS NOT NULL) m ON t.vid = m.vid)
+        |""".stripMargin
+    }
+    sb ++= s"\nSELECT CAST(vid AS BIGINT) AS vid, " +
+      s"CAST(COALESCE(depth, -1) AS BIGINT) AS depth FROM d$rounds\n"
+    sb.toString
+  }
+
+  /** SSSP (Bellman-Ford) from the smallest vid with deterministic weights
+    * w(src,dst) = 1 + (src+dst) mod 7; unreached = NULL -> represented as
+    * -1.0 to keep the column non-null for hashing.
+    * (reference: apps/projected/sssp_projected.h; unreachable = DBL_MAX,
+    * surfaced to Python as inf — we use -1.0 as the portable sentinel). */
+  def sssp(rounds: Int = 30): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $graphCtes,\n"
+    sb ++=
+      """w AS (SELECT src, dst,
+        |        1.0 + CAST((src + dst) % 7 AS DOUBLE) AS weight FROM edges),
+        |t0 AS (SELECT vid,
+        |        CASE WHEN vid = (SELECT MIN(vid) FROM verts)
+        |             THEN 0.0 ELSE NULL END AS dist
+        |       FROM verts)
+        |""".stripMargin
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb ++= s""",
+        |t$i AS (SELECT t.vid,
+        |         CASE WHEN t.dist IS NULL THEN m.md
+        |              WHEN m.md IS NULL THEN t.dist
+        |              WHEN m.md < t.dist THEN m.md ELSE t.dist END AS dist
+        |        FROM t$p t LEFT JOIN (
+        |          SELECT e.dst AS vid, MIN(l.dist + e.weight) AS md
+        |          FROM w e JOIN t$p l ON e.src = l.vid
+        |          WHERE l.dist IS NOT NULL
+        |          GROUP BY e.dst) m ON t.vid = m.vid)
+        |""".stripMargin
+    }
+    sb ++= s"\nSELECT CAST(vid AS BIGINT) AS vid, " +
+      s"COALESCE(dist, -1.0) AS dist FROM t$rounds\n"
+    sb.toString
+  }
+
+  /** k-core membership via unrolled peeling (reference:
+    * apps/kcore/kcore.h:58-126); `rounds` must exceed the number of
+    * cascading removal waves (asserted in OracleConsistencySpec). */
+  def kcore(k: Int = 3, rounds: Int = 20): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $graphCtes,\n"
+    sb ++= "a0 AS (SELECT vid FROM verts)\n"
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb ++= s""",
+        |a$i AS (SELECT s.vid FROM a$p s
+        |        JOIN edges e ON e.src = s.vid
+        |        JOIN a$p t2 ON e.dst = t2.vid
+        |        GROUP BY s.vid HAVING COUNT(*) >= $k)
+        |""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT CAST(v.vid AS BIGINT) AS vid,
+      |       CAST(CASE WHEN a.vid IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+      |         AS in_core
+      |FROM verts v LEFT JOIN a$rounds a ON v.vid = a.vid
+      |""".stripMargin
+    sb.toString
+  }
+
+  // ---- Interactive (Gremlin §2.4) operator-surface oracles over TPC-H ----
+
+  val iFilter: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+      |  AND c_acctbal > 1000.0 AND c_name LIKE '%1'
+      |""".stripMargin
+
+  val iOutJoin: String =
+    """SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE o.o_orderpriority = '1-URGENT'
+      |""".stripMargin
+
+  val iGroupCount: String =
+    """SELECT o_orderpriority AS k, COUNT(*) AS cnt
+      |FROM orders GROUP BY o_orderpriority
+      |""".stripMargin
+
+  val iOrderLimit: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+      |""".stripMargin
+
+  val iRangeLocal: String =
+    """SELECT c_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders) t WHERE rn <= 2
+      |""".stripMargin
+
+  val iDedup: String =
+    "SELECT DISTINCT o_custkey, o_orderstatus FROM orders\n"
+
+  val iUnion: String =
+    """SELECT c_custkey FROM customer WHERE c_acctbal < 0.0
+      |UNION ALL
+      |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000.0
+      |""".stripMargin
+
+  val iSemiJoin: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+      |""".stripMargin
+
+  val iAntiJoin: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      |""".stripMargin
+
+  val iAggs: String =
+    """SELECT o_custkey, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 4) AS total,
+      |  ROUND(MAX(o_totalprice), 4) AS mx, ROUND(MIN(o_totalprice), 4) AS mn
+      |FROM orders GROUP BY o_custkey
+      |""".stripMargin
+
+  val iMath: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge
+      |FROM lineitem
+      |""".stripMargin
+
+  /** fold -> unfold roundtrip == identity on the folded columns. */
+  val iFoldUnfold: String =
+    "SELECT o_custkey, o_orderkey FROM orders\n"
+
+  // ---- Training-data / documents oracles ----
+
+  val dExactDedup: String =
+    """SELECT CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+      |       CAST(COUNT(*) AS BIGINT) AS n_dups
+      |FROM documents GROUP BY text
+      |""".stripMargin
+
+  /** Token count = whitespace-separator count + 1 (portable formula; the
+    * Spark side uses the identical expression). */
+  val dTokenCount: String =
+    """SELECT doc_id,
+      |  CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT)
+      |    AS n_tokens
+      |FROM documents
+      |""".stripMargin
+
+  val dQuality: String =
+    """SELECT doc_id,
+      |  CAST(LENGTH(text) AS BIGINT) AS n_chars_m,
+      |  CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT)
+      |    AS n_tokens,
+      |  CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+      |    / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1.0)
+      |    AS avg_token_len,
+      |  CAST((LENGTH(text) - LENGTH(REPLACE(text, 'the', ''))) / 3
+      |    AS DOUBLE)
+      |    / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1.0)
+      |    AS stop_ratio
+      |FROM documents
+      |""".stripMargin
+
+  /** Deterministic stopword-count language guess (the Spark side replays the
+    * same counts; priority order breaks ties). */
+  val dLangId: String =
+    """SELECT doc_id,
+      |  CASE
+      |    WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+      |    WHEN de >= es AND de >= fr THEN 'de'
+      |    WHEN es >= fr THEN 'es'
+      |    ELSE 'fr' END AS lang_pred
+      |FROM (
+      |  SELECT doc_id,
+      |    (LENGTH(text) - LENGTH(REPLACE(text, ' the ', ''))) / 5 AS en,
+      |    (LENGTH(text) - LENGTH(REPLACE(text, ' der ', ''))) / 5 AS de,
+      |    (LENGTH(text) - LENGTH(REPLACE(text, ' el ', ''))) / 4 AS es,
+      |    (LENGTH(text) - LENGTH(REPLACE(text, ' le ', ''))) / 4 AS fr
+      |  FROM documents) t
+      |""".stripMargin
+}

@@ -1,0 +1,196 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for large-scale training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard. Everything is built from
+  * codegen'd built-in functions (no UDFs): shingling via
+  * sequence+transform+substring, hashing via xxhash64, signatures via
+  * array aggregates — so the whole pipeline stays inside whole-stage
+  * codegen and scales by partition count.
+  *
+  * Input contract: a documents DataFrame with (id: long, text: string)
+  * columns (pass column names explicitly when they differ).
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one hash-groupBy. Output one row per
+    * distinct text: (canonical_id = min id, n_dups, sha). */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("sha")).agg(
+      min(col(idCol)).as("canonical_id"),
+      count(lit(1)).as("n_dups"))
+
+  /** Character k-shingles of a text column as an array of hashes (distinct).
+    * Hashing shingles immediately keeps rows narrow at 100 TB scale. */
+  def shingleHashes(text: Column, k: Int = 5): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => xxhash64(substr(text, i, lit(k)))))
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum over the shingle set (standard MinHash estimator of Jaccard
+    * similarity — Broder 1997). */
+  def minhashSignature(shingles: Column, numHashes: Int = 32): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(shingles, s => xxhash64(s, seed))))
+
+  /** MinHash+LSH candidate pairs: band the signature (`bands` bands of
+    * signature_len/bands rows), bucket-join on (band index, band hash),
+    * then verify with the exact estimated Jaccard from the signatures.
+    *
+    * The band join is the scale path: only documents sharing a band bucket
+    * are compared, so the cross-product never materializes. Hub buckets
+    * (boilerplate text) are bounded by `maxBucket`.
+    */
+  def minhashPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 5,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.7,
+      maxBucket: Int = 64): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = docs.select(col(idCol).as("id"),
+        minhashSignature(shingleHashes(col(textCol), k), numHashes)
+          .as("sig"))
+      .localCheckpoint(true)
+
+    val banded = sigs.select(col("id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * rows + 1, lit(rows)).cast("string"))
+              .as("bh")))).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.bh"))
+
+    // Cap pathological buckets (all-identical boilerplate).
+    val capped = banded.withColumn("bn",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bh"))))
+      .where(col("bn") <= maxBucket).drop("bn")
+
+    val a = capped.select(col("band"), col("bh"), col("id").as("id_a"),
+      col("sig").as("sig_a"))
+    val b = capped.select(col("band"), col("bh"), col("id").as("id_b"),
+      col("sig").as("sig_b"))
+    val cand = a.join(b, Seq("band", "bh"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+
+    cand.select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sig_a"), col("sig_b"))).cast("double")
+          / size(col("sig_a"))).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** 64-bit SimHash of the whitespace-token multiset — Charikar 2002: per
+    * bit position j, the sign of Σ_tokens (±1 by bit j of the token hash).
+    *
+    * Formulated as explode -> one wide 64-column sum aggregate -> bit
+    * recombination: the shift amounts are Scala-level constants (shiftleft/
+    * shiftrightunsigned take Int shifts), the aggregation is map-side
+    * combinable, and everything stays in whole-stage codegen.
+    *
+    * @return (idCol, simhash: long) */
+  def simhash(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol),
+        explode(split(col(textCol), " ")).as("t"))
+      .select(col(idCol), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)) === 1L,
+        lit(1L)).otherwise(lit(-1L))).as(s"b$j")
+    }
+    val agg = tok.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    agg.select(col(idCol), sim.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit simhashes (popcount of XOR,
+    * SWAR — no loop, pure codegen'd arithmetic). */
+  def hamming64(a: Column, b: Column): Column = {
+    // ANSI-safe SWAR: popcount each 32-bit half inside non-negative long
+    // arithmetic (64-bit SWAR needs wrapping ops, which ANSI mode rejects).
+    def pop32(v: Column): Column = {
+      val s1 = v - shiftrightunsigned(v, 1).bitwiseAND(lit(0x55555555L))
+      val s2 = s1.bitwiseAND(lit(0x33333333L)) +
+        shiftrightunsigned(s1, 2).bitwiseAND(lit(0x33333333L))
+      val s3 = (s2 + shiftrightunsigned(s2, 4))
+        .bitwiseAND(lit(0x0f0f0f0fL))
+      // mask back to 32 bits before the byte-sum shift (we're doing 32-bit
+      // SWAR inside 64-bit lanes, so the product's high bits must go)
+      shiftrightunsigned(
+        (s3 * lit(0x01010101L)).bitwiseAND(lit(0xffffffffL)), 24)
+    }
+    val x = a.bitwiseXOR(b)
+    pop32(x.bitwiseAND(lit(0xffffffffL))) + pop32(shiftrightunsigned(x, 32))
+  }
+
+  /** SimHash near-duplicate pairs: block on 4 x 16-bit bands (two docs
+    * within Hamming distance 3 of each other share at least one band by
+    * pigeonhole), then verify the full Hamming distance. */
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs, idCol, textCol).localCheckpoint(true)
+    val banded = sh.select(col(idCol).as("id"), col("simhash"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), b * 16)
+          .bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
+    val a = banded.toDF("id_a", "sim_a", "band", "key")
+    val b = banded.toDF("id_b", "sim_b", "band", "key")
+    a.join(b, Seq("band", "key")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("sim_a"), col("sim_b")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Near-duplicate pairs by n-gram (word) Jaccard, inverted-index join:
+    * explode each doc's distinct word n-grams, join on the n-gram (with a
+    * document-frequency cap to kill stop-gram hubs), count shared grams per
+    * pair, then Jaccard = shared / (|A| + |B| - shared). */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      threshold: Double = 0.5,
+      maxDocFreq: Int = 200): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val grams = docs.select(col(idCol).as("id"),
+        array_distinct(transform(
+          sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => xxhash64(concat_ws("", slice(toks, i + 1, lit(n))))))
+          .as("grams"))
+      .localCheckpoint(true)
+    val sizes = grams.select(col("id"), size(col("grams")).as("sz"))
+
+    val inv = grams.select(col("id"), explode(col("grams")).as("g"))
+    val capped = inv.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g"))))
+      .where(col("df") <= maxDocFreq).drop("df")
+
+    val shared = capped.toDF("id_a", "g")
+      .join(capped.toDF("id_b", "g"), "g")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+
+    shared
+      .join(sizes.toDF("id_a", "sz_a"), "id_a")
+      .join(sizes.toDF("id_b", "sz_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("shared").cast("double")
+          / (col("sz_a") + col("sz_b") - col("shared"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+}

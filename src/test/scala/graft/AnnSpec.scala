@@ -1,0 +1,69 @@
+package graft
+
+import graft.sim.Ann
+import org.apache.spark.sql.functions._
+
+/** ANN over the driver-provided embeddings table: brute force is exact vs
+  * an in-JVM oracle; LSH recalls most of the exact top-k. */
+class AnnSpec extends SparkSpec {
+
+  lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+    .localCheckpoint(true)
+
+  lazy val vecs: Map[Long, Array[Float]] = emb.collect()
+    .map(r => r.getLong(0) ->
+      r.getSeq[Float](1).toArray).toMap
+
+  def cos(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- a.indices) {
+      d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i)
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def exactTopK(q: Long, k: Int): Seq[Long] =
+    vecs.toSeq.filter(_._1 != q)
+      .map { case (id, v) => (id, cos(vecs(q), v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1)
+
+  lazy val queries = emb.where(col("vec_id") < 5)
+    .select(col("vec_id").as("q_id"),
+      col("embedding").as("q_embedding"))
+
+  test("brute-force cosine top-k matches in-JVM oracle") {
+    val got = Ann.bruteForceTopK(emb, queries, k = 10).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq }
+    for (q <- 0L until 5L) {
+      assert(got(q) == exactTopK(q, 10), s"query $q")
+    }
+  }
+
+  test("lsh top-k recalls most of the exact top-10") {
+    val got = Ann.lshTopK(emb, queries, k = 10).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val recalls = (0L until 5L).map { q =>
+      val exact = exactTopK(q, 10).toSet
+      got.getOrElse(q, Set.empty).intersect(exact).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean LSH recall $mean (per-query $recalls)")
+  }
+
+  test("cosine near-dup pairs are symmetric-free and above threshold") {
+    val pairs = Ann.cosineNearDupPairs(emb, threshold = 0.9, planes = 8)
+      .collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.9)
+      assert(math.abs(r.getDouble(2) -
+        cos(vecs(r.getLong(0)), vecs(r.getLong(1)))) < 1e-6)
+    }
+  }
+}

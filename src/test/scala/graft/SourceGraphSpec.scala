@@ -1,0 +1,89 @@
+package graft
+
+import graft.apps.{PageRank, WCC}
+import graft.graphbuild.GraphBuilder
+import graft.model.SourceFiles
+import org.apache.spark.sql.functions._
+
+/** The north-star pipeline: synthetic source-file table -> repo link graph
+  * -> analytics, with the per-row sha256 invariant and parallelism
+  * invariance. */
+class SourceGraphSpec extends SparkSpec {
+
+  lazy val files = SourceFiles.generate(spark, nFiles = 3000L, nRepos = 80)
+    .localCheckpoint(true)
+
+  test("generator is deterministic: same seed -> identical sha256 set") {
+    val a = SourceFiles.withSha(
+      SourceFiles.generate(spark, 500L, 20))
+      .agg(sum(conv(substring(col("content_sha"), 1, 8), 16, 10)
+        .cast("long"))).head().getLong(0)
+    val b = SourceFiles.withSha(
+      SourceFiles.generate(spark, 500L, 20))
+      .agg(sum(conv(substring(col("content_sha"), 1, 8), 16, 10)
+        .cast("long"))).head().getLong(0)
+    assert(a == b)
+  }
+
+  test("schema matches the input_hint contract") {
+    assert(files.columns.toSeq ==
+      Seq("repo", "path", "commit", "lang", "content"))
+    assert(files.schema.fields.forall(_.dataType.typeName == "string"))
+  }
+
+  test("per-row content sha256 invariant survives the graph build") {
+    // Every (repo, path) row's sha must be recoverable by joining the
+    // derived vertex dictionary back to the source table (north rule:
+    // per-row content sha256 equality against the source Iceberg rows).
+    val src = SourceFiles.withSha(files)
+    val rg = GraphBuilder.build(files)
+    val joined = src.join(rg.vertices, src("repo") === rg.vertices("oid"))
+    assert(joined.count() == files.count(),
+      "every file row must map to a graph vertex")
+    val recheck = joined
+      .where(sha2(col("content"), 256) =!= col("content_sha")).count()
+    assert(recheck == 0)
+  }
+
+  test("edge derivation: import links + co-occurrence, no self loops") {
+    val rg = GraphBuilder.build(files)
+    val e = rg.edges
+    assert(e.where(col("src") === col("dst")).count() == 0)
+    assert(e.count() > 0)
+    // hub bias: the 8 hub repos must be high in-degree
+    val g = rg.simple()
+    val topIn = g.inDegrees.orderBy(col("deg").desc).limit(8)
+      .select("vid").collect().map(_.getLong(0)).toSet
+    val hubOids = rg.vertices
+      .where(col("oid").isin((0 until 8).map(i => s"org/repo$i"): _*))
+      .select("vid").collect().map(_.getLong(0)).toSet
+    assert(topIn.intersect(hubOids).nonEmpty,
+      s"expected hub repos among top in-degree, got $topIn vs $hubOids")
+  }
+
+  test("vertex dictionary is deterministic and dense") {
+    val d1 = GraphBuilder.vertexDictionary(files).collect()
+      .map(r => r.getString(1) -> r.getLong(0)).toMap
+    val d2 = GraphBuilder.vertexDictionary(files).collect()
+      .map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(d1 == d2)
+    assert(d1.values.min == 0 && d1.values.max == d1.size - 1)
+  }
+
+  test("pagerank + wcc on the repo graph: invariant across parallelism") {
+    val g = GraphBuilder.build(files).simple()
+    val pr4 = normalize(PageRank.run(g, numPartitions = 4)
+      .select(col("vid"), round(col("rank"), 9).as("r")))
+    val pr16 = normalize(PageRank.run(g, numPartitions = 16)
+      .select(col("vid"), round(col("rank"), 9).as("r")))
+    assert(pr4 == pr16)
+    assert(normalize(WCC.run(g, numPartitions = 4)) ==
+      normalize(WCC.run(g, numPartitions = 16)))
+  }
+
+  test("entry() returns ranked repos (driver smoke contract)") {
+    val df = SparkEntry.entry(spark)
+    assert(df.columns.toSeq == Seq("vid", "oid", "rank"))
+    assert(df.count() > 0)
+  }
+}

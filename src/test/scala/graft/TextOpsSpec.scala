@@ -1,0 +1,129 @@
+package graft
+
+import graft.text.{Dedup, TextStats}
+import org.apache.spark.sql.functions._
+
+/** Dedup + text-analysis operators against in-JVM expectations. */
+class TextOpsSpec extends SparkSpec {
+  import Dedup._
+
+  def docsDF(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  val near1 = "the quick brown fox jumps over the lazy dog in the park today"
+  val near2 = "the quick brown fox jumps over the lazy dog in the park now"
+  val other = "completely different content about spark shuffles and scans"
+
+  test("exact dedup groups identical texts") {
+    val docs = docsDF(Seq(1L -> "aaa", 2L -> "bbb", 3L -> "aaa",
+      7L -> "aaa"))
+    val got = exact(docs).select("canonical_id", "n_dups").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L))
+  }
+
+  test("minhash LSH finds near duplicates, not unrelated docs") {
+    val docs = docsDF(Seq(1L -> near1, 2L -> near2, 3L -> other,
+      4L -> near1))
+    val pairs = minhashPairs(docs, threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)), s"exact dup must be found: $pairs")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)),
+      s"near dup should be found: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc must not pair: $pairs")
+  }
+
+  test("minhash estimated jaccard ~ true shingle jaccard") {
+    def shingles(s: String, k: Int = 5): Set[String] =
+      (0 to s.length - k).map(i => s.substring(i, i + k)).toSet
+    val truth = {
+      val a = shingles(near1); val b = shingles(near2)
+      a.intersect(b).size.toDouble / a.union(b).size
+    }
+    val docs = docsDF(Seq(1L -> near1, 2L -> near2))
+    val est = minhashPairs(docs, numHashes = 128, bands = 16,
+      threshold = 0.0)
+      .where(col("id_a") === 1 && col("id_b") === 2)
+      .head().getDouble(2)
+    assert(math.abs(est - truth) < 0.2, s"est $est vs truth $truth")
+  }
+
+  test("simhash: identical texts collide, near texts within few bits") {
+    val docs = docsDF(Seq(1L -> near1, 2L -> near2, 3L -> other,
+      4L -> near1))
+    val sh = simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)),
+      s"near pair must be closer than unrelated pair")
+  }
+
+  test("hamming64 column matches JVM popcount") {
+    import spark.implicits._
+    val rows = Seq((0x0L, 0xFFL), (0x123456789abcdefL, 0x0L),
+      (-1L, 0L), (Long.MinValue, 0L))
+    val got = rows.toDF("a", "b")
+      .select(hamming64(col("a"), col("b"))).collect().map(_.getLong(0))
+    val want = rows.map { case (a, b) =>
+      java.lang.Long.bitCount(a ^ b).toLong }
+    assert(got.toSeq == want)
+  }
+
+  test("simhashPairs blocks + verifies") {
+    val docs = docsDF(Seq(1L -> near1, 2L -> near1, 3L -> other))
+    val pairs = simhashPairs(docs, maxHamming = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("ngram jaccard pairs") {
+    val docs = docsDF(Seq(1L -> near1, 2L -> near2, 3L -> other))
+    val got = ngramJaccardPairs(docs, n = 2, threshold = 0.3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("token counts: whitespace formula and bpe-ish regex") {
+    import spark.implicits._
+    val df = Seq("a b c", "one").toDF("text")
+    assert(df.select(TextStats.tokenCount(col("text")))
+      .collect().map(_.getLong(0)).toSeq == Seq(3L, 1L))
+    val bpe = Seq("foo.bar(1)").toDF("text")
+      .select(TextStats.bpeishTokenCount(col("text"))).head().getLong(0)
+    assert(bpe == 6L, s"foo . bar ( 1 ) -> got $bpe") // foo . bar ( 1 )
+  }
+
+  test("quality features are sane") {
+    val f = TextStats.qualityFeatures(docsDF(Seq(
+      1L -> "The cat, the dog!"))).head()
+    assert(f.getLong(1) == 17L) // n_chars
+    assert(f.getLong(2) == 4L)  // n_tokens
+    assert(f.getDouble(4) > 0)  // punct_ratio
+    assert(f.getDouble(5) > 0)  // upper_ratio
+  }
+
+  test("langId picks the dominant stopword language") {
+    val got = TextStats.langId(docsDF(Seq(
+      1L -> "x the y the z the w and q",
+      2L -> "x der y und z der w die q",
+      3L -> "x le y les z et w le q"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr"))
+  }
+
+  test("fingerprint is stable and edit-robust at the tail") {
+    import spark.implicits._
+    val fp = Seq(near1, near1 + " extra", other).toDF("text")
+      .select(TextStats.fingerprint(col("text"))).collect()
+      .map(_.getLong(0))
+    assert(fp(0) == fp(1), "appending text keeps the min-shingle hash")
+    assert(fp(0) != fp(2))
+  }
+}

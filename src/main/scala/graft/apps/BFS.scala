@@ -1,6 +1,6 @@
 package graft.apps
 
-import graft.graph.SimpleGraph
+import graft.graph.{SimpleGraph, Strategy}
 import graft.pregel.{CheckpointConfig, Iterate}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -26,8 +26,9 @@ object BFS {
       else spark.sessionState.conf.numShufflePartitions
     val maxRounds = math.min(depthLimit.toLong, 10000L).toInt
 
-    val edges = g.edges.select("src", "dst").repartition(p, col("src"))
-      .persist()
+    val bcast = Strategy.smallEnoughToBroadcast(g.numVertices)
+    val edges = g.preparedEdges("dir", g.edges.select("src", "dst"),
+      if (bcast) "dst" else "src", p)
 
     // state: (vid, depth [-1 = unreached], _changed = in current frontier)
     val init = g.vertices.select(
@@ -41,7 +42,7 @@ object BFS {
       step = (state, round) => {
         val frontier = state.where(col("_changed") === 1)
           .select(col("vid").as("src"))
-        val reached = edges.join(frontier, "src")
+        val reached = edges.join(Strategy.state(frontier, bcast), "src")
           .select(col("dst").as("vid")).distinct()
         state.join(reached.withColumn("hit", lit(1)), Seq("vid"), "left")
           .select(
@@ -55,7 +56,6 @@ object BFS {
       stopWhenUnchanged = true,
       checkpoint = checkpoint)
 
-    edges.unpersist()
     res.state.select("vid", "depth")
   }
 }

@@ -1,6 +1,6 @@
 package graft.apps
 
-import graft.graph.SimpleGraph
+import graft.graph.{SimpleGraph, Strategy}
 import graft.pregel.{CheckpointConfig, Iterate}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -34,8 +34,11 @@ object CDLP {
     val p = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
 
-    val edges = g.bothDirections.select("src", "dst")
-      .repartition(p, col("src")).persist()
+    val bcast = Strategy.smallEnoughToBroadcast(g.numVertices)
+    val bothTag = if (!g.directed) "dir" else "both"
+    val edges = g.preparedEdges(bothTag,
+      g.bothDirections.select("src", "dst"),
+      if (bcast) "dst" else "src", p)
 
     val init = g.vertices.select(col("vid"), col("vid").as("label"))
       .repartition(p, col("vid"))
@@ -44,7 +47,8 @@ object CDLP {
       init, maxRound,
       step = (state, _) => {
         val nbrLabels = edges
-          .join(state.select(col("vid").as("src"), col("label")), "src")
+          .join(Strategy.state(
+            state.select(col("vid").as("src"), col("label")), bcast), "src")
           .select(col("dst"), col("label"))
         val pick = nbrLabels
           .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
@@ -58,7 +62,6 @@ object CDLP {
       stopWhenUnchanged = false,
       checkpoint = checkpoint)
 
-    edges.unpersist()
     res.state.select("vid", "label")
   }
 }

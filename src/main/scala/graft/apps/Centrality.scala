@@ -1,6 +1,6 @@
 package graft.apps
 
-import graft.graph.SimpleGraph
+import graft.graph.{SimpleGraph, Strategy}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -39,8 +39,9 @@ object Centrality {
     val spark = g.spark
     val p = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val edges = g.edges.select("src", "dst").repartition(p, col("src"))
-      .persist()
+    val bcast = Strategy.smallEnoughToBroadcast(g.numVertices)
+    val edges = g.preparedEdges("dir", g.edges.select("src", "dst"),
+      if (bcast) "dst" else "src", p)
     val n = g.numVertices.toDouble
 
     var state = g.vertices.select(col("vid"), lit(1.0 / n).as("x"))
@@ -51,7 +52,8 @@ object Centrality {
     while (!done && round < maxRound) {
       round += 1
       val msgs = edges
-        .join(state.select(col("vid").as("src"), col("x")), "src")
+        .join(Strategy.state(
+          state.select(col("vid").as("src"), col("x")), bcast), "src")
         .groupBy(col("dst").as("vid")).agg(sum(col("x")).as("mx"))
       // one materialization per round; norm/delta are aggs over it
       val raw = state.join(msgs, Seq("vid"), "left").select(
@@ -67,7 +69,6 @@ object Centrality {
       state = raw.select(col("vid"), (col("x") / norm).as("x"))
       if (delta < n * tolerance) done = true
     }
-    edges.unpersist()
     state.select(col("vid"), col("x").as("centrality"))
       .localCheckpoint(true)
   }
@@ -87,8 +88,9 @@ object Centrality {
     val spark = g.spark
     val p = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val edges = g.edges.select("src", "dst").repartition(p, col("src"))
-      .persist()
+    val bcast = Strategy.smallEnoughToBroadcast(g.numVertices)
+    val edges = g.preparedEdges("dir", g.edges.select("src", "dst"),
+      if (bcast) "dst" else "src", p)
     val n = g.numVertices.toDouble
 
     var state = g.vertices.select(col("vid"), lit(0.0).as("x"))
@@ -100,7 +102,8 @@ object Centrality {
     while (!done && round < maxRound) {
       round += 1
       val msgs = edges
-        .join(state.select(col("vid").as("src"), col("x")), "src")
+        .join(Strategy.state(
+          state.select(col("vid").as("src"), col("x")), bcast), "src")
         .groupBy(col("dst").as("vid")).agg(sum(col("x")).as("mx"))
       val next = state.join(msgs, Seq("vid"), "left").select(
         col("vid"), col("x").as("x_last"),
@@ -115,7 +118,6 @@ object Centrality {
       state = next.drop("x_last")
       if (delta < n * tolerance) done = true
     }
-    edges.unpersist()
     if (normalized) {
       val s = 1.0 / math.sqrt(totalSum)
       state.select(col("vid"), (col("x") * s).as("centrality"))

@@ -1,6 +1,6 @@
 package graft.apps
 
-import graft.graph.SimpleGraph
+import graft.graph.{SimpleGraph, Strategy}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -31,11 +31,12 @@ object HITS {
     val p = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
 
-    val edges = g.edges.select("src", "dst").repartition(p, col("src"))
-      .persist()
-    val revEdges = g.edges.select(col("dst").as("src"), col("src").as("dst"))
-      .repartition(p, col("src")).persist()
     val n = g.numVertices.toDouble
+    val bcast = Strategy.smallEnoughToBroadcast(n.toLong)
+    val key = if (bcast) "dst" else "src"
+    val edges = g.preparedEdges("dir", g.edges.select("src", "dst"), key, p)
+    val revEdges = g.preparedEdges("rev",
+      g.edges.select(col("dst").as("src"), col("src").as("dst")), key, p)
 
     var state = g.vertices.select(col("vid"),
       lit(1.0 / n).as("hub"), lit(0.0).as("auth"))
@@ -48,14 +49,16 @@ object HITS {
     while (!done && step < maxRound) {
       // auth(u) = sum of hub over in-neighbors: flow src->dst on edges.
       val authMsgs = edges
-        .join(state.select(col("vid").as("src"), col("hub")), "src")
+        .join(Strategy.state(
+          state.select(col("vid").as("src"), col("hub")), bcast), "src")
         .groupBy(col("dst").as("vid")).agg(sum(col("hub")).as("na"))
       val s1 = state.join(authMsgs, Seq("vid"), "left").select(
         col("vid"), col("hub").as("hub_last"),
         coalesce(col("na"), lit(0.0)).as("auth"))
       // hub(u) = sum of auth over out-neighbors: flow dst->src (revEdges).
       val hubMsgs = revEdges
-        .join(s1.select(col("vid").as("src"), col("auth")), "src")
+        .join(Strategy.state(
+          s1.select(col("vid").as("src"), col("auth")), bcast), "src")
         .groupBy(col("dst").as("vid")).agg(sum(col("auth")).as("nh"))
       // ONE materialization per round; the max/eps scalars and the
       // normalized state are cheap projections over the checkpointed frame.
@@ -83,8 +86,6 @@ object HITS {
       state.select(col("vid"), (col("hub") / sh).as("hub"),
         (col("auth") / sa).as("auth"))
     } else state
-    val outC = out.localCheckpoint(true)
-    edges.unpersist(); revEdges.unpersist()
-    outC
+    out.localCheckpoint(true)
   }
 }

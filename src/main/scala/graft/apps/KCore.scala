@@ -1,6 +1,6 @@
 package graft.apps
 
-import graft.graph.SimpleGraph
+import graft.graph.{SimpleGraph, Strategy}
 import graft.pregel.{CheckpointConfig, Iterate}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -34,7 +34,9 @@ object KCore {
     val spark = g.spark
     val p = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val edges = g.undirectedDedup.repartition(p, col("src")).persist()
+    val bcast = Strategy.smallEnoughToBroadcast(g.numVertices)
+    val undTag = if (g.simpleEdges && !g.directed) "dir" else "und"
+    val edges = g.preparedEdges(undTag, g.undirectedDedup, "src", p)
 
     // state: (vid, alive, _changed)
     val init = g.vertices.select(col("vid"), lit(1).as("alive"),
@@ -45,8 +47,10 @@ object KCore {
       step = (state, _) => {
         val aliveV = state.where(col("alive") === 1).select("vid")
         val liveEdges = edges
-          .join(aliveV.select(col("vid").as("src")), Seq("src"), "left_semi")
-          .join(aliveV.select(col("vid").as("dst")), Seq("dst"), "left_semi")
+          .join(Strategy.state(aliveV.select(col("vid").as("src")), bcast),
+            Seq("src"), "left_semi")
+          .join(Strategy.state(aliveV.select(col("vid").as("dst")), bcast),
+            Seq("dst"), "left_semi")
         val deg = liveEdges.groupBy(col("src").as("vid"))
           .agg(count(lit(1)).as("deg"))
         state.join(deg, Seq("vid"), "left").select(
@@ -59,7 +63,6 @@ object KCore {
       stopWhenUnchanged = true,
       checkpoint = checkpoint)
 
-    edges.unpersist()
     res.state
   }
 }

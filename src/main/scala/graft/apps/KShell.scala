@@ -1,6 +1,6 @@
 package graft.apps
 
-import graft.graph.SimpleGraph
+import graft.graph.{SimpleGraph, Strategy}
 import graft.pregel.Iterate
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -33,7 +33,10 @@ object KShell {
     val spark = g.spark
     val p = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val edges = g.undirectedDedup.repartition(p, col("src")).persist()
+    val bcast = Strategy.smallEnoughToBroadcast(g.numVertices)
+    val undTag = if (g.simpleEdges && !g.directed) "dir" else "und"
+    val edges = g.preparedEdges(undTag, g.undirectedDedup,
+      if (bcast) "dst" else "src", p)
 
     val init = g.undirectedDegrees
       .select(col("vid"), col("deg").cast("long").as("core"))
@@ -50,7 +53,8 @@ object KShell {
       init, 10000,
       step = (state, _) => {
         val nbrEst = edges
-          .join(state.select(col("vid").as("src"), col("core")), "src")
+          .join(Strategy.state(
+            state.select(col("vid").as("src"), col("core")), bcast), "src")
           .groupBy(col("dst").as("vid"))
           .agg(collect_list(col("core")).as("ests"))
         state.join(nbrEst, Seq("vid"), "left").select(
@@ -64,7 +68,6 @@ object KShell {
       },
       stopWhenUnchanged = true)
 
-    edges.unpersist()
     res.state.select("vid", "core")
   }
 }

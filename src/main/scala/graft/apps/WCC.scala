@@ -1,6 +1,6 @@
 package graft.apps
 
-import graft.graph.SimpleGraph
+import graft.graph.{SimpleGraph, Strategy}
 import graft.pregel.{CheckpointConfig, Iterate}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -41,7 +41,10 @@ object WCC {
     val p = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
 
-    val edges = g.undirectedDedup.repartition(p, col("src")).persist()
+    val bcast = Strategy.smallEnoughToBroadcast(g.numVertices)
+    val undTag = if (g.simpleEdges && !g.directed) "dir" else "und"
+    val edges = g.preparedEdges(undTag, g.undirectedDedup,
+      if (bcast) "dst" else "src", p)
 
     // state: (vid, comp, _changed); round 0 = PEval: everyone "changed".
     val init = g.vertices
@@ -53,7 +56,7 @@ object WCC {
       step = (state, _) => {
         val frontier = state.where(col("_changed") === 1)
           .select(col("vid").as("src"), col("comp"))
-        val msgs = edges.join(frontier, "src")
+        val msgs = edges.join(Strategy.state(frontier, bcast), "src")
           .groupBy(col("dst").as("vid")).agg(min(col("comp")).as("mc"))
         state.join(msgs, Seq("vid"), "left").select(
           col("vid"),
@@ -64,7 +67,6 @@ object WCC {
       stopWhenUnchanged = true,
       checkpoint = checkpoint)
 
-    edges.unpersist()
     (res.state.select("vid", "comp"), res.completedRounds)
   }
 }

@@ -1,0 +1,98 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Labeled property graph — the engine-level mirror of the reference's
+  * `vineyard::ArrowFragment` data model (multi-label, multi-property;
+  * schema per label — python/graphscope/framework/graph_schema.py:28-90):
+  * a map of vertex-label -> DataFrame plus a map of
+  * (srcLabel, edgeLabel, dstLabel) -> DataFrame.
+  *
+  * Vertex frames carry (vid: long, ...properties); edge frames
+  * (src: long, dst: long, ...properties). Construction mirrors the
+  * incremental `add_vertices` / `add_edges` builder
+  * (python/graphscope/framework/graph.py:737,761) and ADD_LABELS
+  * (framework/dag_utils.py:101).
+  */
+final case class PropertyGraph(
+    vertexLabels: Map[String, DataFrame],
+    edgeLabels: Map[(String, String, String), DataFrame]) {
+
+  def spark: SparkSession = vertexLabels.values.head.sparkSession
+
+  /** add_vertices(loader, label, ...) — union when the label exists. */
+  def addVertices(label: String, df: DataFrame): PropertyGraph =
+    copy(vertexLabels = vertexLabels.updated(label,
+      vertexLabels.get(label).map(_.unionByName(df, allowMissingColumns =
+        true)).getOrElse(df)))
+
+  /** add_edges(loader, label, src_label, dst_label). */
+  def addEdges(srcLabel: String, edgeLabel: String, dstLabel: String,
+      df: DataFrame): PropertyGraph = {
+    val k = (srcLabel, edgeLabel, dstLabel)
+    copy(edgeLabels = edgeLabels.updated(k,
+      edgeLabels.get(k).map(_.unionByName(df, allowMissingColumns = true))
+        .getOrElse(df)))
+  }
+
+  /** PROJECT_GRAPH (dag_utils.py:358): keep chosen labels + properties. */
+  def project(
+      vertices: Map[String, Seq[String]],
+      edges: Map[(String, String, String), Seq[String]]): PropertyGraph =
+    PropertyGraph(
+      vertices.map { case (l, props) =>
+        l -> vertexLabels(l).select(
+          (col("vid") +: props.map(col)): _*) },
+      edges.map { case (k, props) =>
+        k -> edgeLabels(k).select(
+          (col("src") +: col("dst") +: props.map(col)): _*) })
+
+  /** PROJECT_TO_SIMPLE (dag_utils.py:383 / grape_instance.cc:181): one
+    * vertex label + one edge label + at most one property each -> the
+    * simple graph every analytical app runs on. The edge property (when
+    * given) becomes `weight`. */
+  def projectToSimple(
+      vertexLabel: String,
+      edgeLabel: (String, String, String),
+      edgeProperty: Option[String] = None,
+      directed: Boolean = true): SimpleGraph = {
+    val v = vertexLabels(vertexLabel).select("vid")
+    val e0 = edgeLabels(edgeLabel)
+    val e = edgeProperty match {
+      case Some(pcol) => e0.select(col("src"), col("dst"),
+        col(pcol).cast("double").as("weight"))
+      case None => e0.select("src", "dst")
+    }
+    SimpleGraph(v, e, directed)
+  }
+
+  // REPORT_GRAPH surface (proto/types.proto:216-237 ReportType;
+  // engine: core/fragment/dynamic_fragment_reporter.h)
+  def nodeNum(label: String): Long = vertexLabels(label).count()
+  def edgeNum(key: (String, String, String)): Long = edgeLabels(key).count()
+  def hasNode(label: String, vid: Long): Boolean =
+    vertexLabels(label).where(col("vid") === vid).limit(1).count() > 0
+  def hasEdge(key: (String, String, String), src: Long, dst: Long)
+      : Boolean =
+    edgeLabels(key).where(col("src") === src && col("dst") === dst)
+      .limit(1).count() > 0
+  def nodeData(label: String, vid: Long): Option[org.apache.spark.sql.Row] =
+    vertexLabels(label).where(col("vid") === vid).collect().headOption
+  def neighbors(key: (String, String, String), vid: Long): Seq[Long] =
+    edgeLabels(key).where(col("src") === vid).select("dst")
+      .collect().map(_.getLong(0)).toSeq
+  def degree(key: (String, String, String), vid: Long): Long =
+    edgeLabels(key).where(col("src") === vid || col("dst") === vid).count()
+  def outDegree(key: (String, String, String), vid: Long): Long =
+    edgeLabels(key).where(col("src") === vid).count()
+  def inDegree(key: (String, String, String), vid: Long): Long =
+    edgeLabels(key).where(col("dst") === vid).count()
+  def selfLoopsNum(key: (String, String, String)): Long =
+    edgeLabels(key).where(col("src") === col("dst")).count()
+}
+
+object PropertyGraph {
+  /** CREATE_GRAPH from labeled frames (dag_utils.py:67). */
+  def apply(): PropertyGraph = PropertyGraph(Map.empty, Map.empty)
+}

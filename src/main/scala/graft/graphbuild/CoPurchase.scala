@@ -42,12 +42,12 @@ object CoPurchase {
       cache.getOrElseUpdate((spark, dir), {
         val p = pairs(spark, dir)
         val edges = p.unionByName(
-          p.select(col("dst").as("src"), col("src").as("dst")))
-          .localCheckpoint(true)
+          p.select(col("dst").as("src"), col("src").as("dst"))).persist()
+        edges.count()
         val verts = lineitem(spark, dir)
-          .select(col("l_partkey").as("vid")).distinct()
-          .localCheckpoint(true)
-        SimpleGraph(verts, edges, directed = false)
+          .select(col("l_partkey").as("vid")).distinct().persist()
+        verts.count()
+        SimpleGraph(verts, edges, directed = false, simpleEdges = true)
       })
     }
 

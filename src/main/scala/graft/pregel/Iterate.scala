@@ -80,17 +80,23 @@ object Iterate {
       val hasChanged = next0.columns.contains("_changed")
       // Materialize + cut lineage in one action.
       val next = next0.localCheckpoint(true)
+      // Fixed-round algorithms (no _changed column) pay no extra action
+      // per round; convergence-gated ones pay one cheap agg over the
+      // checkpointed frame.
       val (changed, rows) =
         if (hasChanged) {
           val r = next.agg(
             sum(col("_changed").cast("long")), count(lit(1))).head()
           (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
-        } else (-1L, next.count())
+        } else (-1L, -1L)
       val state1 = if (hasChanged) next.drop("_changed") else next
       val wall = (System.nanoTime() - t0) / 1000000
       val m = IterMetrics(checkpoint.runId, round, changed, rows,
-        state1.rdd.getNumPartitions, wall)
+        spark.sessionState.conf.numShufflePartitions, wall)
       metrics :+= m
+      if (sys.env.contains("GRAFT_ITER_VERBOSE"))
+        println(s"[iter] ${checkpoint.runId} round=$round " +
+          s"changed=$changed wallMs=$wall")
       checkpoint.dir.foreach { d =>
         if (round % checkpoint.every == 0) {
           state1.write.mode("overwrite")

@@ -1,6 +1,6 @@
 package graft.pregel
 
-import graft.graph.SimpleGraph
+import graft.graph.{SimpleGraph, Strategy}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -39,7 +39,9 @@ object Pregel {
     val spark = g.spark
     val p = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val edges = g.edges.repartition(p, col("src")).persist()
+    val bcast = Strategy.smallEnoughToBroadcast(g.numVertices)
+    val edges = (if (bcast) g.edges
+      else g.edges.repartition(p, col("src"))).persist()
     val edgeCols = g.edges.columns.toSeq
 
     val initState = g.vertices
@@ -51,15 +53,15 @@ object Pregel {
       step = (state, _) => {
         val toDst = sendToDst.map { m =>
           edges
-            .join(state.select(col("vid").as("src"),
-              col("state").as("src_state")), "src")
+            .join(Strategy.state(state.select(col("vid").as("src"),
+              col("state").as("src_state")), bcast), "src")
             .select(col("dst").as("vid"), m.as("msg"))
             .where(col("msg").isNotNull)
         }
         val toSrc = sendToSrc.map { m =>
           edges
-            .join(state.select(col("vid").as("dst"),
-              col("state").as("dst_state")), "dst")
+            .join(Strategy.state(state.select(col("vid").as("dst"),
+              col("state").as("dst_state")), bcast), "dst")
             .select(col("src").as("vid"), m.as("msg"))
             .where(col("msg").isNotNull)
         }

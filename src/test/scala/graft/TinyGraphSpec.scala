@@ -158,6 +158,20 @@ class TinyGraphSpec extends SparkSpec {
     assert(w2 == w16)
   }
 
+  test("non-broadcast (shuffle) join path gives identical results") {
+    val bPr = normalize(PageRank.run(gDir)
+      .select(col("vid"), round(col("rank"), 10).as("r")))
+    val bWcc = normalize(WCC.run(gDir))
+    System.setProperty("graft.force.shuffle", "1")
+    try {
+      val sPr = normalize(PageRank.run(gDir)
+        .select(col("vid"), round(col("rank"), 10).as("r")))
+      val sWcc = normalize(WCC.run(gDir))
+      assert(sPr == bPr)
+      assert(sWcc == bWcc)
+    } finally System.clearProperty("graft.force.shuffle")
+  }
+
   test("graph ops: subgraph, reverse, undirected, degrees") {
     import spark.implicits._
     val sub = gDir.induceSubgraph(Seq(1L, 2L, 3L, 4L).toDF("vid"))

@@ -6,21 +6,62 @@ import graft.graphbuild.CoPurchase
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Benchmark main — prints ONE JSON line with per-query seconds plus the
+/** Benchmark main — prints a JSON line with per-query seconds plus the
   * north-rule scaling evidence: the same PageRank+WCC jobs on the same
   * input at two parallelism levels (local[N/4] vs local[N], the sandbox
   * stand-in for N vs 4N executors; worker-count-invariance precedent:
   * python/tests/test_scalability.py:42-56), with edges/sec/iteration
   * throughput at both levels and the scaling efficiency between them.
   *
+  * Budget discipline (round-1 postmortem: the run was timeout-killed with
+  * all output held to the end — rc=124, no numbers landed):
+  *   - a full, valid JSON line is re-printed after EVERY completed section,
+  *     so a timeout keeps everything measured so far (the last stdout line
+  *     is always the most complete snapshot);
+  *   - the scaled graph is derived ONCE and written to parquet; the lo and
+  *     hi sessions read the identical file (same bytes, no double build);
+  *   - every section runs under try/catch — one failure cannot zero the
+  *     rest;
+  *   - all numbers are formatted with Locale.ROOT (a comma-decimal default
+  *     locale must not break the JSON contract).
+  *
   * The scaling section runs on a deterministic K-fold disjoint replication
-  * of the co-purchase graph (~30M+ directed edges) so that per-superstep
-  * compute dominates fixed per-round scheduling overhead — at the raw sf
-  * sizes every round is overhead-bound and no parallelism level can help.
-  * Both passes are JIT-warmed (a 2-round PageRank) and the lo pass runs
-  * first, so the hi pass never borrows warmth the lo pass lacked.
+  * of the co-purchase graph so that per-superstep compute dominates fixed
+  * per-round scheduling overhead — at the raw sf sizes every round is
+  * overhead-bound and no parallelism level can help. Both passes are
+  * JIT-warmed and the lo pass runs first, so the hi pass never borrows
+  * warmth the lo pass lacked.
   */
 object Bench {
+
+  private def fmt(d: Double, prec: Int = 3): String =
+    String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(d))
+
+  /** Ordered top-level JSON fields; emit() prints the full current line. */
+  private val fields =
+    scala.collection.mutable.LinkedHashMap[String, String]()
+  private def emit(): Unit = {
+    println(fields.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}"))
+    Console.out.flush()
+  }
+
+  private val queryTimes =
+    scala.collection.mutable.LinkedHashMap[String, Double]()
+  private def putQueries(): Unit = {
+    fields("queries") = queryTimes
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    fields("value") = fmt(queryTimes.values.sum)
+  }
+
+  private def safe[T](name: String)(f: => T): Option[T] =
+    try Some(f)
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        None
+    }
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -46,26 +87,38 @@ object Bench {
 
   /** K-fold edge replication of the co-purchase graph into a FIXED dense
     * vertex space: copy i hash-remaps both endpoints with seed i into
-    * [0, vSpace). Edge count scales linearly with `copies` while the
+    * [0, vSpace). Edge count scales ~linearly with `copies` while the
     * vertex set stays small, so per-superstep compute grows but the
     * V-proportional serial costs (state broadcast, checkpoint) do not —
     * exactly the E >> V regime of the 10^12-file link graph. Deterministic
-    * (xxhash64). Multi-edges are possible and harmless for PR/WCC. */
-  private def scaledGraph(spark: SparkSession, dir: String, copies: Int)
-      : SimpleGraph = {
+    * (xxhash64). Canonicalized + deduplicated so the SimpleGraph
+    * `simpleEdges` contract holds. Written to parquet once; both
+    * parallelism levels read the identical file. */
+  private def writeScaledEdges(spark: SparkSession, dir: String,
+      copies: Int, path: String): Unit = {
     val vSpace = 50000L
     val p = CoPurchase.pairs(spark, dir).persist()
     p.count() // materialize once; the K-fold union below rescans the cache
     val shifted = (0 until copies).map { i =>
       p.select(
-        pmod(xxhash64(col("src"), lit(i)), lit(vSpace)).as("src"),
-        pmod(xxhash64(col("dst"), lit(i)), lit(vSpace)).as("dst"))
-    }.reduce(_ unionByName _).where(col("src") =!= col("dst"))
-    val edges = shifted.unionByName(
-      shifted.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
+        pmod(xxhash64(col("src"), lit(i)), lit(vSpace)).as("a"),
+        pmod(xxhash64(col("dst"), lit(i)), lit(vSpace)).as("b"))
+    }.reduce(_ unionByName _).where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("src"),
+        greatest(col("a"), col("b")).as("dst"))
+      .distinct()
+    shifted.write.mode("overwrite").parquet(path)
+    p.unpersist()
+  }
+
+  private def readScaledGraph(spark: SparkSession, path: String)
+      : SimpleGraph = {
+    val pairs = spark.read.parquet(path)
+    val edges = pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst"))).persist()
     edges.count()
-    val verts = spark.range(vSpace).select(col("id").as("vid"))
+    val verts = spark.range(50000L).select(col("id").as("vid")).persist()
+    verts.count()
     SimpleGraph(verts, edges, directed = false, simpleEdges = true)
   }
 
@@ -91,16 +144,18 @@ object Bench {
   /** Compute-bound scaling probe: MinHash signatures (64 hash functions
     * over char shingles) on a `copies`-fold replicated documents table.
     * One stage + one agg — no per-round scheduling — so it isolates how
-    * raw compute scales with cores, complementing the superstep probe
-    * (whose per-round fixed job latency dominates at sandbox scale but is
-    * noise at cluster scale where a round is minutes of work). */
+    * raw compute scales with cores, complementing the superstep probe. */
   private def computeProbe(spark: SparkSession, dir: String,
-      copies: Int = 64): Double = {
+      copies: Int): Double = {
     import graft.text.Dedup
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0), lit(copies - 1))).as("copy"))
       .select(concat_ws("#", col("text"), col("copy")).as("text"))
+      // The small source parquet arrives as ONE input split and explode
+      // preserves partitioning — without this spread the whole probe runs
+      // on a single core at every parallelism level (r1 defect).
+      .repartition(spark.sparkContext.defaultParallelism * 2)
     val sigs = docs.select(
       Dedup.minhashSignature(Dedup.shingleHashes(col("text"), 5), 64)
         .as("sig"))
@@ -114,67 +169,119 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val hi = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val lo = math.max(1, hi / 4)
-    // ~38M directed edges from sf0.1 (2.4M): enough compute per round to
-    // make 4x cores visible. Scale down for smaller sf dirs.
-    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "96").toInt
+    // Measured at sf0.1: copies=16 (38M directed edges) leaves each round
+    // overhead-bound — scaling efficiency 0.39; copies=64 (~150M) puts
+    // >1s of compute in every round, the regime the north rule targets.
+    // r1's timeout came from building the graph TWICE at 96 copies plus a
+    // single-partition 6e9-eval probe, both fixed here — not from size.
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "64").toInt
+    val scaledPath = new java.io.File(
+      s"target/bench-scaled-c$copies").getAbsolutePath
+
+    fields("metric") = "\"total\""
+    fields("value") = "0.0"
+    fields("unit") = "\"sec\""
+    fields("queries") = "{}"
+    fields("sf") = "\"" + sfDir + "\""
 
     // --- per-query timings at hi parallelism, raw sf data ---
     var spark = session(hi)
-    val nEdgesRaw = CoPurchase.graph(spark, sfDir).edges.count()
-    val (prRawT, wccRawT, _, _) = headline(CoPurchase.graph(spark, sfDir))
-    val others = Seq[(String, (SparkSession, String) => DataFrame)](
-      "g_cdlp" -> Queries.cdlp,
-      "g_triangles" -> Queries.triangles,
-      "g_degree" -> Queries.degree,
-      "i_aggs" -> Queries.iAggs,
-      "d_exact_dedup" -> Queries.dExactDedup
-    ).map { case (name, f) =>
-      val (_, t) = time { f(spark, sfDir).count() }
-      name -> t
+    safe("edges_raw") {
+      fields("edges_raw") = CoPurchase.graph(spark, sfDir).edges.count()
+        .toString
+    }
+    safe("headline_raw") {
+      val (prRawT, wccRawT, _, _) = headline(CoPurchase.graph(spark, sfDir))
+      queryTimes("g_pagerank") = prRawT
+      queryTimes("g_wcc") = wccRawT
+      putQueries(); emit()
+    }
+    Seq[(String, (SparkSession, String) => DataFrame)](
+      "g_cdlp" -> (Queries.cdlp(_, _)),
+      "g_triangles" -> (Queries.triangles(_, _)),
+      "g_degree" -> (Queries.degree(_, _)),
+      "i_aggs" -> (Queries.iAggs(_, _)),
+      "d_exact_dedup" -> (Queries.dExactDedup(_, _))
+    ).foreach { case (name, f) =>
+      safe(name) {
+        val (_, t) = time { f(spark, sfDir).count() }
+        queryTimes(name) = t
+      }
+    }
+    putQueries(); emit()
+    safe("scaled_write") { writeScaledEdges(spark, sfDir, copies, scaledPath) }
+    spark.stop()
+
+    // --- scaling: identical jobs, same scaled input file, lo then hi ---
+    var nEdges = 0L
+    var loRes: Option[(Double, Double, Int, Double)] = None
+    var cpLoT, cpHiT = -1.0
+    spark = session(lo)
+    safe("scaling_lo") {
+      val gLo = readScaledGraph(spark, scaledPath)
+      nEdges = gLo.edges.count()
+      loRes = Some(headline(gLo))
+      val (prLoT, wccLoT, wccIters, _) = loRes.get
+      fields("scaling") =
+        s"""{"edges":$nEdges,"iters":${10 + wccIters},""" +
+        s""""cores_lo":$lo,"cores_hi":$hi,""" +
+        s""""pr_sec_lo":${fmt(prLoT, 2)},"wcc_sec_lo":${fmt(wccLoT, 2)}}"""
+      emit()
+    }
+    safe("probe_lo") {
+      computeProbe(spark, sfDir, 2) // JIT warm-up for the probe
+      cpLoT = computeProbe(spark, sfDir, 4)
     }
     spark.stop()
 
-    // --- scaling: identical jobs, same scaled input, lo then hi ---
-    spark = session(lo)
-    val gLo = scaledGraph(spark, sfDir, copies)
-    val nEdges = gLo.edges.count()
-    val (prLoT, wccLoT, wccIters, chkLo) = headline(gLo)
-    computeProbe(spark, sfDir, 2) // JIT warm-up for the probe
-    val cpLoT = computeProbe(spark, sfDir)
-    spark.stop()
-
     spark = session(hi)
-    val gHi = scaledGraph(spark, sfDir, copies)
-    gHi.edges.count()
-    val (prHiT, wccHiT, wccItersHi, chkHi) = headline(gHi)
-    computeProbe(spark, sfDir, 2)
-    val cpHiT = computeProbe(spark, sfDir)
+    safe("scaling_hi") {
+      val gHi = readScaledGraph(spark, scaledPath)
+      val (prHiT, wccHiT, wccItersHi, chkHi) = headline(gHi)
+      val (prLoT, wccLoT, wccIters, chkLo) = loRes.get
+      val epsLo = nEdges.toDouble * (10 + wccIters) / (prLoT + wccLoT)
+      val epsHi = nEdges.toDouble * (10 + wccItersHi) / (prHiT + wccHiT)
+      val efficiency = (epsHi / epsLo) / (hi.toDouble / lo)
+      val resultsMatch = chkLo == chkHi && wccIters == wccItersHi
+      fields("scaling") =
+        s"""{"edges":$nEdges,"iters":${10 + wccIters},""" +
+        s""""cores_lo":$lo,"cores_hi":$hi,""" +
+        s""""pr_sec_lo":${fmt(prLoT, 2)},"pr_sec_hi":${fmt(prHiT, 2)},""" +
+        s""""wcc_sec_lo":${fmt(wccLoT, 2)},"wcc_sec_hi":${fmt(wccHiT, 2)},""" +
+        s""""eps_lo":${epsLo.round},"eps_hi":${epsHi.round},""" +
+        s""""efficiency":${fmt(efficiency)},""" +
+        s""""results_match":$resultsMatch}"""
+      emit()
+    }
+    // CSR-gather tier demo (Strategy.CsrGather / EdgeBlocks.gatherSum):
+    // the 10^9-vertex plan shape, forced on the same scaled graph so its
+    // throughput is directly comparable to the default tier's pr_sec_hi.
+    safe("scaling_csr") {
+      val gCsr = readScaledGraph(spark, scaledPath)
+      sys.props("graft.force.csr") = "true"
+      try {
+        PageRank.run(gCsr, 0.85, 1).count() // pack blocks + JIT warmth
+        val (_, t) = time {
+          PageRank.run(gCsr, 0.85, 10)
+            .agg(round(sum(col("rank")) * 1e6, 0)).head().getDouble(0)
+        }
+        fields("scaling_csr") =
+          s"""{"pr_sec_csr":${fmt(t, 2)},""" +
+          s""""eps_csr":${(nEdges.toDouble * 10 / t).round}}"""
+        emit()
+      } finally sys.props.remove("graft.force.csr")
+    }
+    safe("probe_hi") {
+      computeProbe(spark, sfDir, 2)
+      cpHiT = computeProbe(spark, sfDir, 4)
+      if (cpLoT > 0 && cpHiT > 0) {
+        fields("scaling_compute") =
+          s"""{"minhash_sec_lo":${fmt(cpLoT, 2)},""" +
+          s""""minhash_sec_hi":${fmt(cpHiT, 2)},""" +
+          s""""efficiency":${fmt((cpLoT / cpHiT) / (hi.toDouble / lo))}}"""
+      }
+    }
     spark.stop()
-
-    val iters = 10 + wccIters
-    val epsLo = nEdges.toDouble * iters / (prLoT + wccLoT)
-    val epsHi = nEdges.toDouble * (10 + wccItersHi) / (prHiT + wccHiT)
-    val efficiency = (epsHi / epsLo) / (hi.toDouble / lo)
-    val resultsMatch = chkLo == chkHi && wccIters == wccItersHi
-
-    val all = Seq("g_pagerank" -> prRawT, "g_wcc" -> wccRawT) ++ others
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = all.map(_._2).sum
-    println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
-      s""""queries":$qs,"sf":"$sfDir","edges_raw":$nEdgesRaw,""" +
-      s""""scaling":{"edges":$nEdges,"iters":$iters,""" +
-      s""""cores_lo":$lo,"cores_hi":$hi,""" +
-      s""""pr_sec_lo":${f"$prLoT%.2f"},"pr_sec_hi":${f"$prHiT%.2f"},""" +
-      s""""wcc_sec_lo":${f"$wccLoT%.2f"},"wcc_sec_hi":${f"$wccHiT%.2f"},""" +
-      s""""eps_lo":${epsLo.round},"eps_hi":${epsHi.round},""" +
-      s""""efficiency":${math.round(efficiency * 1000) / 1000.0},""" +
-      s""""results_match":$resultsMatch},""" +
-      s""""scaling_compute":{"minhash_sec_lo":${f"$cpLoT%.2f"},""" +
-      s""""minhash_sec_hi":${f"$cpHiT%.2f"},""" +
-      s""""efficiency":${
-        math.round((cpLoT / cpHiT) / (hi.toDouble / lo) * 1000) / 1000.0
-      }}}""")
+    putQueries(); emit()
   }
 }

@@ -100,23 +100,110 @@ object Queries {
       .select(col("vid").cast("long").as("vid"),
         col("in_core").cast("long").as("in_core"))
 
-  // No SQL oracle for the following (tolerance-gated iteration counts);
-  // covered by in-JVM oracles in ScalaTest.
+  // Catalog entries pin tolerance = 0 (exactly maxRound rounds) so the
+  // driver-side DuckDB oracle can unroll the identical fixed recurrence;
+  // tolerance-gated variants remain the API default and are covered by
+  // in-JVM oracles in ScalaTest.
 
   def hits(spark: SparkSession, dir: String): DataFrame =
-    HITS.run(CoPurchase.graph(spark, dir))
+    HITS.run(CoPurchase.graph(spark, dir), tolerance = 0.0, maxRound = 15)
       .select(col("vid").cast("long").as("vid"),
         round(col("hub"), 6).as("hub"), round(col("auth"), 6).as("auth"))
 
   def eigenvector(spark: SparkSession, dir: String): DataFrame =
-    Centrality.eigenvector(CoPurchase.graph(spark, dir))
+    Centrality.eigenvector(CoPurchase.graph(spark, dir),
+      tolerance = 0.0, maxRound = 15)
       .select(col("vid").cast("long").as("vid"),
         round(col("centrality"), 6).as("centrality"))
 
   def katz(spark: SparkSession, dir: String): DataFrame =
-    Centrality.katz(CoPurchase.graph(spark, dir))
+    Centrality.katz(CoPurchase.graph(spark, dir),
+      tolerance = 0.0, maxRound = 15)
       .select(col("vid").cast("long").as("vid"),
         round(col("centrality"), 6).as("centrality"))
+
+  def avgClustering(spark: SparkSession, dir: String): DataFrame =
+    clustering(spark, dir)
+      .agg(round(avg(col("coeff")), 6).as("avg_clustering"))
+
+  def louvain(spark: SparkSession, dir: String): DataFrame =
+    // capped levels/rounds for the catalog entry: local moves saturate in
+    // the first rounds on this graph; the driver budget is shared by ~45
+    // queries (API defaults stay higher for real runs)
+    Louvain.run(CoPurchase.graph(spark, dir), maxLevels = 3,
+      maxRoundsPerLevel = 10)
+      .select(col("vid").cast("long").as("vid"),
+        col("community").cast("long").as("community"))
+
+  def ssspPath(spark: SparkSession, dir: String): DataFrame = {
+    val g = CoPurchase.weighted(CoPurchase.graph(spark, dir))
+    SSSP.runWithParents(g, minVid(g))
+      .select(col("vid").cast("long").as("vid"), col("dist"),
+        col("parent").cast("long").as("parent"))
+  }
+
+  def ssspHasPath(spark: SparkSession, dir: String): DataFrame = {
+    val g = CoPurchase.graph(spark, dir)
+    val (lo, hi) = {
+      val r = g.vertices.agg(min(col("vid")), max(col("vid"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    SSSP.hasPath(g, lo, hi)
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("has_path"))
+  }
+
+  def bfsParents(spark: SparkSession, dir: String): DataFrame = {
+    val g = CoPurchase.graph(spark, dir)
+    BFS.runWithParents(g, minVid(g))
+      .select(col("vid").cast("long").as("vid"),
+        col("depth").cast("long").as("depth"),
+        col("parent").cast("long").as("parent"))
+  }
+
+  /** LPA-U2I over the bipartite customer->part purchase graph (weight =
+    * quantity), 2 features with deterministic pin/seed init — mirrors
+    * OracleSql.lpaU2I exactly (reference: apps/lpa/lpa_u2i.h). */
+  def lpaU2I(spark: SparkSession, dir: String): DataFrame = {
+    val users = t(spark, dir, "customer").select(
+      col("c_custkey").as("vid"),
+      array(
+        when(col("c_custkey") % 4 === 0, lit(1.0))
+          .when(col("c_custkey") % 4 === 1, lit(0.0))
+          .otherwise(lit(0.5)),
+        when(col("c_custkey") % 5 === 0, lit(1.0)).otherwise(lit(0.3)))
+        .as("features"))
+    val edges = t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_partkey").as("dst"),
+        col("l_quantity").as("weight"))
+    LPAU2I.run(users, edges, maxRound = 5).select(
+      col("vid").cast("long").as("vid"),
+      round(element_at(col("features"), 1), 6).as("f1"),
+      round(element_at(col("features"), 2), 6).as("f2"))
+  }
+
+  /** sampling_path over the TPC-H property graph: pattern
+    * customer -placed-> order -contains-> part, start set restricted to
+    * custkey % 100 = 0 (reference: apps/sampling_path/sampling_path.h). */
+  def samplingPath(spark: SparkSession, dir: String): DataFrame = {
+    val g = graft.graph.PropertyGraph()
+      .addVertices("customer", t(spark, dir, "customer")
+        .where(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey").as("vid")))
+      .addVertices("order", t(spark, dir, "orders")
+        .select(col("o_orderkey").as("vid")))
+      .addVertices("part", t(spark, dir, "lineitem")
+        .select(col("l_partkey").as("vid")).distinct())
+      .addEdges("customer", "placed", "order", t(spark, dir, "orders")
+        .select(col("o_custkey").as("src"), col("o_orderkey").as("dst")))
+      .addEdges("order", "contains", "part", t(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("src"), col("l_partkey").as("dst")))
+    SamplingPath.run(g,
+      Seq("customer", "placed", "order", "contains", "part"),
+      maxPaths = 1000000000L)
+  }
 
   def kshell(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
     KShell.run(CoPurchase.graph(spark, dir), k)
@@ -174,9 +261,14 @@ object Queries {
         Seq("c_custkey"), "left_semi")
       .select("c_custkey", "c_name")
 
+  /** Anti-join with a NON-empty result (customers with no urgent order —
+    * r1's "customers with no order at all" was vacuously empty at every
+    * sf, so the operator was never actually verified). */
   def iAntiJoin(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "customer")
-      .join(t(spark, dir, "orders").select(col("o_custkey").as("c_custkey")),
+      .join(t(spark, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey")),
         Seq("c_custkey"), "left_anti")
       .select("c_custkey", "c_name")
 
@@ -198,6 +290,58 @@ object Queries {
     t(spark, dir, "orders")
       .groupBy("o_custkey").agg(collect_list(col("o_orderkey")).as("ks"))
       .select(col("o_custkey"), explode(col("ks")).as("o_orderkey"))
+
+  /** SAMPLE (unarystep/sample.rs): deterministic Bernoulli sample via a
+    * Knuth multiplicative hash on the key — replayable in ANSI SQL, unlike
+    * rand()-seeded sampling whose draw depends on partitioning. */
+  def iSample(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .where(pmod(col("o_orderkey") * lit(2654435761L), lit(4294967296L))
+        < lit(429496729L))
+      .select("o_orderkey", "o_custkey")
+
+  /** ESTIMATE_COUNT (query_flow.proto op 94 -> approx_count_distinct):
+    * self-checking — each engine asserts its own HLL estimate lands within
+    * 10% of its exact distinct count (HLL registers differ across engines,
+    * so the estimates themselves cannot be hash-compared). */
+  def iEstimateCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .agg(approx_count_distinct(col("o_custkey")).as("approx"),
+        countDistinct(col("o_custkey")).as("exact"))
+      .select(
+        when(abs(col("approx").cast("double") - col("exact").cast("double"))
+          <= lit(0.1) * col("exact").cast("double"), lit(1L))
+          .otherwise(lit(0L)).as("ok"))
+
+  /** CompareType surface not covered by i_filter: REGEX (rlike),
+    * STARTSWITH, CONTAINS, WITHIN (sdk/message.proto:269-290). The oracle
+    * replays the regex with equivalent LIKE disjunctions. */
+  def iPredicates(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .where(col("c_name").rlike("[05]$")
+        && col("c_name").contains("1")
+        && col("c_name").startsWith("Customer#")
+        && col("c_nationkey").isin(1, 3, 5, 7, 9, 11))
+      .select("c_custkey", "c_name", "c_nationkey")
+
+  /** PATH history + SIMPLE_PATH (unarystep/filter.rs:362, PATH_OUT op 29):
+    * 2-hop traversal from the min vertex carrying the path as a
+    * collect-style struct column, simple-path filtered (no revisits),
+    * flattened to scalar columns for the oracle compare. */
+  def iSimplePath(spark: SparkSession, dir: String): DataFrame = {
+    val g = CoPurchase.graph(spark, dir)
+    val start = minVid(g)
+    val e = g.edges.select("src", "dst")
+    val hop1 = e.where(col("src") === start)
+      .select(struct(col("src").as("v0"), col("dst").as("v1")).as("path"))
+    val hop2 = hop1.join(e,
+        col("path.v1") === col("src"))
+      .select(col("path"), col("dst").as("v2"))
+      // SIMPLE_PATH: drop traversers revisiting any path vertex
+      .where(col("v2") =!= col("path.v0") && col("v2") =!= col("path.v1"))
+    hop2.select(col("path.v0").as("v0"), col("path.v1").as("v1"),
+      col("v2"))
+  }
 
   // ---------- documents / training-data ops ----------
 
@@ -272,11 +416,22 @@ object Queries {
       .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"),
         col("rank"))
 
-  def eCosNearDup(spark: SparkSession, dir: String): DataFrame =
-    graft.sim.Ann.cosineNearDupPairs(
-      t(spark, dir, "embeddings").select("vec_id", "embedding"),
-      threshold = 0.9)
+  /** Near-dup pairs over the embeddings UNION planted duplicates (the
+    * first 50 vectors scaled by exactly 2.0f — cosine 1.0, and positive
+    * power-of-two scaling provably preserves every SRP bucket, so recall
+    * of the planted pairs is exact). r1 ran the raw table, where no pair
+    * reaches the threshold (max natural cosine ≈ 0.51) and the operator
+    * was verified on an empty result; the planted set gives the driver 50
+    * known rows to hash. */
+  def eCosNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val planted = base.where(col("vec_id") < 50).select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    graft.sim.Ann.cosineNearDupPairs(base.unionByName(planted),
+      threshold = 0.95)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
 
   def mMediaFeatures(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Multimodal.extractFeatures(

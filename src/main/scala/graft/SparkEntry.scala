@@ -40,6 +40,13 @@ object SparkEntry {
     "g_hits" -> (Queries.hits(_, _)),
     "g_eigenvector" -> (Queries.eigenvector(_, _)),
     "g_katz" -> (Queries.katz(_, _)),
+    "g_avg_clustering" -> (Queries.avgClustering(_, _)),
+    "g_louvain" -> (Queries.louvain(_, _)),
+    "g_sssp_path" -> (Queries.ssspPath(_, _)),
+    "g_sssp_has_path" -> (Queries.ssspHasPath(_, _)),
+    "g_bfs_parents" -> (Queries.bfsParents(_, _)),
+    "g_lpa_u2i" -> (Queries.lpaU2I(_, _)),
+    "g_sampling_path" -> (Queries.samplingPath(_, _)),
     // Interactive operator surface (§2.4)
     "i_filter" -> (Queries.iFilter(_, _)),
     "i_out_join" -> (Queries.iOutJoin(_, _)),
@@ -53,6 +60,10 @@ object SparkEntry {
     "i_aggs" -> (Queries.iAggs(_, _)),
     "i_math" -> (Queries.iMath(_, _)),
     "i_fold_unfold" -> (Queries.iFoldUnfold(_, _)),
+    "i_sample" -> (Queries.iSample(_, _)),
+    "i_estimate_count" -> (Queries.iEstimateCount(_, _)),
+    "i_predicates" -> (Queries.iPredicates(_, _)),
+    "i_simple_path" -> (Queries.iSimplePath(_, _)),
     // Pregel UDF surface (§2.6)
     "g_pregel_pagerank" -> (Queries.pregelPagerank(_, _)),
     // Documents / training-data ops
@@ -74,9 +85,10 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (CTEs forced MATERIALIZED — see
-    * OracleSql.materialize). Omitted for tolerance-gated iterative apps
-    * (g_hits, g_eigenvector, g_katz, g_kshell) — those have in-JVM oracles
-    * in ScalaTest instead. */
+    * OracleSql.materialize). Omitted only where DuckDB cannot replay the
+    * computation portably (hash-function-dependent text ops, array-typed
+    * outputs, label-set-valued Louvain) — those have in-JVM oracles in
+    * ScalaTest instead (see OracleConsistencySpec's exemption test). */
   def oracleSql: Map[String, String] =
     rawOracleSql.view.mapValues(OracleSql.materialize).toMap
 
@@ -93,6 +105,16 @@ object SparkEntry {
     "g_bfs" -> OracleSql.bfs(),
     "g_sssp" -> OracleSql.sssp(),
     "g_kcore" -> OracleSql.kcore(),
+    "g_kshell" -> OracleSql.kshell(),
+    "g_hits" -> OracleSql.hits(),
+    "g_eigenvector" -> OracleSql.eigenvector(),
+    "g_katz" -> OracleSql.katz(),
+    "g_avg_clustering" -> OracleSql.avgClustering,
+    "g_sssp_path" -> OracleSql.ssspPath(),
+    "g_sssp_has_path" -> OracleSql.ssspHasPath(),
+    "g_bfs_parents" -> OracleSql.bfsParents(),
+    "g_lpa_u2i" -> OracleSql.lpaU2I(),
+    "g_sampling_path" -> OracleSql.samplingPath,
     "g_pregel_pagerank" -> OracleSql.pregelPagerank(),
     "i_filter" -> OracleSql.iFilter,
     "i_out_join" -> OracleSql.iOutJoin,
@@ -106,6 +128,11 @@ object SparkEntry {
     "i_aggs" -> OracleSql.iAggs,
     "i_math" -> OracleSql.iMath,
     "i_fold_unfold" -> OracleSql.iFoldUnfold,
+    "i_sample" -> OracleSql.iSample,
+    "i_estimate_count" -> OracleSql.iEstimateCount,
+    "i_predicates" -> OracleSql.iPredicates,
+    "i_simple_path" -> OracleSql.iSimplePath,
+    "e_cos_neardup" -> OracleSql.eCosNearDup,
     "d_exact_dedup" -> OracleSql.dExactDedup,
     "d_token_count" -> OracleSql.dTokenCount,
     "d_quality" -> OracleSql.dQuality,

@@ -58,4 +58,35 @@ object BFS {
 
     res.state.select("vid", "depth")
   }
+
+  /** BFS tree formats (reference: apps/bfs/bfs_generic.h:30-33 emits
+    * edges / predecessors / successors, not just depth; NX layer
+    * nx/algorithms/builtin.py:446-478 `bfs_edges` depends on it).
+    * The reference's tree parent is visit-order-dependent; we canonicalize
+    * to the SMALLEST in-neighbor one level up so the output is
+    * deterministic and oracle-checkable:
+    * parent(v) = min{u : (u,v) ∈ E, depth(u) = depth(v) - 1}.
+    *
+    * @return (vid, depth, parent) — parent = -1 for the source and
+    *         unreachable vertices. The EDGES format is the (parent, vid)
+    *         projection of rows with parent >= 0; SUCCESSORS is its
+    *         groupBy(parent). */
+  def runWithParents(
+      g: SimpleGraph,
+      source: Long,
+      depthLimit: Int = Int.MaxValue,
+      numPartitions: Int = 0): DataFrame = {
+    val depth = run(g, source, depthLimit, numPartitions)
+    val parents = g.edges.select("src", "dst")
+      .join(depth.select(col("vid").as("src"), col("depth").as("sd")),
+        "src")
+      .join(depth.select(col("vid").as("dst"), col("depth").as("dd")),
+        "dst")
+      .where(col("sd") >= 0 && col("sd") + 1 === col("dd"))
+      .groupBy(col("dst").as("vid")).agg(min(col("src")).as("parent"))
+    depth.join(parents, Seq("vid"), "left").select(
+      col("vid"), col("depth"),
+      when(col("vid") === source || col("depth") < 0, lit(-1L))
+        .otherwise(coalesce(col("parent"), lit(-1L))).as("parent"))
+  }
 }

@@ -118,7 +118,9 @@ object Centrality {
       state = next.drop("x_last")
       if (delta < n * tolerance) done = true
     }
-    if (normalized) {
+    if (normalized && totalSum > 0.0) {
+      // totalSum = 0 (e.g. maxRound = 0) would yield a 1/0 scale — return
+      // the raw scores instead (reference guards its normalizers).
       val s = 1.0 / math.sqrt(totalSum)
       state.select(col("vid"), (col("x") * s).as("centrality"))
     } else state.select(col("vid"), col("x").as("centrality"))

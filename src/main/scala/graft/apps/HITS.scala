@@ -70,14 +70,21 @@ object HITS {
       val r = s2.agg(max(col("hub")), max(col("auth"))).head()
       val maxH = r.getDouble(0)
       val maxA = r.getDouble(1)
-      val eps = s2.agg(sum(abs(col("hub") / maxH - col("hub_last"))))
-        .head().getDouble(0)
-      if (lastCk != null) lastCk.unpersist()
-      lastCk = s2
-      state = s2.select(col("vid"), (col("hub") / maxH).as("hub"),
-        (col("auth") / maxA).as("auth"))
-      step += 1
-      if (eps <= tolerance) done = true
+      if (maxH <= 0.0 || maxA <= 0.0) {
+        // Edgeless (or fully drained) graph: normalizing would divide by
+        // zero and NaN every score — keep the pre-round state and stop
+        // (the reference CHECK-guards its normalization scalars).
+        done = true
+      } else {
+        val eps = s2.agg(sum(abs(col("hub") / maxH - col("hub_last"))))
+          .head().getDouble(0)
+        if (lastCk != null) lastCk.unpersist()
+        lastCk = s2
+        state = s2.select(col("vid"), (col("hub") / maxH).as("hub"),
+          (col("auth") / maxA).as("auth"))
+        step += 1
+        if (eps <= tolerance) done = true
+      }
     }
 
     val out = if (normalized) {

@@ -29,7 +29,8 @@ object KShell {
     * escalation (apps/kcore/kcore.h:108-111) but O(fixpoint rounds) Spark
     * jobs instead of O(max core) sequential peels — the formulation that
     * survives a 100x scale-up. */
-  def coreNumbers(g: SimpleGraph, numPartitions: Int = 0): DataFrame = {
+  def coreNumbers(g: SimpleGraph, numPartitions: Int = 0,
+      maxRounds: Int = 10000): DataFrame = {
     val spark = g.spark
     val p = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
@@ -50,7 +51,7 @@ object KShell {
     }
 
     val res = Iterate.run(
-      init, 10000,
+      init, maxRounds,
       step = (state, _) => {
         val nbrEst = edges
           .join(Strategy.state(

@@ -41,12 +41,17 @@ object PageRank {
       else spark.sessionState.conf.numShufflePartitions
 
     val n = g.numVertices.toDouble
-    val bcast = Strategy.smallEnoughToBroadcast(n.toLong)
+    val tier = Strategy.tier(n.toLong)
+    val bcast = tier == Strategy.Broadcast
     // bcast path: partition by dst once, so every round's groupBy(dst)
     // aggregates in place with no exchange; shuffle path: partition by src
-    // so the per-round state join reuses the exchange instead.
-    val edges = g.preparedEdges("dir", g.edges.select("src", "dst"),
+    // so the per-round state join reuses the exchange instead; CSR path
+    // (10^9+ vertices) packs edges once into partition-local CSR blocks and
+    // per round ships only P state bundles (EdgeBlocks.gatherSum).
+    lazy val edges = g.preparedEdges("dir", g.edges.select("src", "dst"),
       if (bcast) "dst" else "src", p)
+    lazy val blocks =
+      g.preparedBlocks("csr", g.edges.select("src", "dst"), p)
     val degrees = g.preparedOutDegrees(p) // cached (vid, deg)
     val danglingVnum =
       degrees.where(col("deg") === 0L).count().toDouble
@@ -68,8 +73,14 @@ object PageRank {
         val base = bases(round)
         val contrib = state.where(col("deg") > 0)
           .select(col("vid").as("src"), (col("rank") / col("deg")).as("c"))
-        val msgs = edges.join(Strategy.state(contrib, bcast), "src")
-          .groupBy(col("dst").as("vid")).agg(sum(col("c")).as("msum"))
+        val msgs =
+          if (tier == Strategy.CsrGather)
+            graft.graph.EdgeBlocks.gatherSum(blocks,
+              contrib.select(col("src").as("vid"), col("c").as("value")), p)
+              .select(col("vid"), col("sum_value").as("msum"))
+          else
+            edges.join(Strategy.state(contrib, bcast), "src")
+              .groupBy(col("dst").as("vid")).agg(sum(col("c")).as("msum"))
         state.join(msgs, Seq("vid"), "left").select(
           col("vid"), col("deg"),
           when(col("deg") === 0L, lit(base))

@@ -61,4 +61,44 @@ object SSSP {
       when(col("dist") === inf, lit(-1.0)).otherwise(col("dist"))
         .as("dist"))
   }
+
+  /** sssp_path: shortest-path tree via parent pointers (reference:
+    * apps/sssp/sssp_path.h — keeps the predecessor that settled each
+    * vertex). The reference's parent choice is nondeterministic among
+    * equal-cost predecessors (test/app_tests.sh:318-324); we canonicalize
+    * to the SMALLEST such predecessor so the result is partition-invariant
+    * and oracle-checkable: parent(v) = min{u : dist(u) + w(u,v) = dist(v)}.
+    * Derived from the settled distances with one extra join — no argmin
+    * bookkeeping in the hot loop.
+    *
+    * @return (vid, dist, parent) — parent = -1 for the source and
+    *         unreachable vertices. */
+  def runWithParents(
+      g: SimpleGraph,
+      source: Long,
+      maxRounds: Int = 10000,
+      numPartitions: Int = 0): DataFrame = {
+    val dist = run(g, source, maxRounds, numPartitions)
+    val e = g.edges.select("src", "dst", "weight")
+    val parents = e
+      .join(dist.select(col("vid").as("src"), col("dist").as("sd")), "src")
+      .join(dist.select(col("vid").as("dst"), col("dist").as("dd")), "dst")
+      .where(col("sd") >= 0 && col("dd") >= 0 &&
+        col("sd") + col("weight") === col("dd"))
+      .groupBy(col("dst").as("vid")).agg(min(col("src")).as("parent"))
+    dist.join(parents, Seq("vid"), "left").select(
+      col("vid"), col("dist"),
+      when(col("vid") === source || col("dist") < 0, lit(-1L))
+        .otherwise(coalesce(col("parent"), lit(-1L))).as("parent"))
+  }
+
+  /** sssp_has_path: boolean reachability source -> target (reference:
+    * apps/sssp/sssp_has_path.h). One BFS + a point lookup. */
+  def hasPath(g: SimpleGraph, source: Long, target: Long): DataFrame = {
+    val depth = BFS.run(g.copy(edges = g.edges.select("src", "dst")),
+      source)
+    depth.where(col("vid") === target).select(
+      lit(source).as("src"), lit(target).as("dst"),
+      when(col("depth") >= 0, lit(1L)).otherwise(lit(0L)).as("has_path"))
+  }
 }

@@ -67,8 +67,54 @@ final case class PropertyGraph(
     SimpleGraph(v, e, directed)
   }
 
-  // REPORT_GRAPH surface (proto/types.proto:216-237 ReportType;
-  // engine: core/fragment/dynamic_fragment_reporter.h)
+  // MODIFY_VERTICES / MODIFY_EDGES surface (proto/types.proto:207-215
+  // ModifyType NX_ADD_NODES/NX_ADD_EDGES/NX_DEL_NODES/NX_DEL_EDGES/
+  // NX_UPDATE_NODES/NX_UPDATE_EDGES; engine core/grape_instance.cc:247-296)
+  // — batch deltas as union / anti-join / outer-join-coalesce, the
+  // shuffle-once shapes that replace the reference's per-item mutation at
+  // scale.
+
+  /** NX_DEL_NODES: drop the listed vids and every incident edge. */
+  def deleteVertices(label: String, vids: DataFrame): PropertyGraph = {
+    val k = vids.select(col(vids.columns.head).as("vid")).distinct()
+    val v2 = vertexLabels.updated(label,
+      vertexLabels(label).join(k, Seq("vid"), "left_anti"))
+    val e2 = edgeLabels.map { case (key @ (sl, _, dl), df) =>
+      var d = df
+      if (sl == label)
+        d = d.join(k.select(col("vid").as("src")), Seq("src"), "left_anti")
+      if (dl == label)
+        d = d.join(k.select(col("vid").as("dst")), Seq("dst"), "left_anti")
+      // key-based joins hoist the join column first — restore the frame's
+      // declared column order
+      key -> d.select(df.columns.map(col): _*)
+    }
+    PropertyGraph(v2, e2)
+  }
+
+  /** NX_DEL_EDGES: drop the listed (src, dst) pairs. */
+  def deleteEdges(key: (String, String, String), pairs: DataFrame)
+      : PropertyGraph = {
+    val k = pairs.select(col(pairs.columns(0)).as("src"),
+      col(pairs.columns(1)).as("dst")).distinct()
+    copy(edgeLabels = edgeLabels.updated(key,
+      edgeLabels(key).join(k, Seq("src", "dst"), "left_anti")))
+  }
+
+  /** NX_UPDATE_NODES: upsert property values for the listed vids — delta
+    * columns win, untouched vertices keep their values (one outer join). */
+  def updateVertices(label: String, delta: DataFrame): PropertyGraph = {
+    val base = vertexLabels(label)
+    val props = delta.columns.filter(_ != "vid")
+    val renamed = delta.select(col("vid") +:
+      props.map(c => col(c).as(s"__new_$c")): _*)
+    val merged = base.join(renamed, Seq("vid"), "left").select(
+      col("vid") +: base.columns.filter(_ != "vid").map { c =>
+        if (props.contains(c)) coalesce(col(s"__new_$c"), col(c)).as(c)
+        else col(c)
+      }: _*)
+    copy(vertexLabels = vertexLabels.updated(label, merged))
+  }
   def nodeNum(label: String): Long = vertexLabels(label).count()
   def edgeNum(key: (String, String, String)): Long = edgeLabels(key).count()
   def hasNode(label: String, vid: Long): Boolean =

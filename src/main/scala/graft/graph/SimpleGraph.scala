@@ -56,6 +56,21 @@ final case class SimpleGraph(
   def preparedOutDegrees(p: Int): DataFrame =
     preparedEdges("outdeg", outDegrees, "vid", p)
 
+  /** Memoized CSR block packing of an edge view (Strategy.CsrGather tier):
+    * built and cached once per (tag, p), like preparedEdges. */
+  @transient private lazy val blockCache =
+    scala.collection.mutable.Map[(String, Int),
+      org.apache.spark.sql.Dataset[EdgeBlocks.EdgeBlock]]()
+  def preparedBlocks(tag: String, df: => DataFrame, p: Int)
+      : org.apache.spark.sql.Dataset[EdgeBlocks.EdgeBlock] =
+    blockCache.synchronized {
+      blockCache.getOrElseUpdate((tag, p), {
+        val b = EdgeBlocks.build(df, p).persist()
+        b.count()
+        b
+      })
+    }
+
   /** Both-direction edge view, for algorithms that traverse in+out
     * (LoadStrategy::kBothOutIn). For undirected graphs edges are already
     * symmetric; for directed graphs union the reverse (no dedup — an edge

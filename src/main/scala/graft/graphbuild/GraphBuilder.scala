@@ -29,14 +29,35 @@ object GraphBuilder {
   }
 
   /** oid -> dense vid dictionary over the distinct repo names appearing as
-    * either a file owner or an import target. */
+    * either a file owner or an import target. vid = global sort rank of
+    * the oid — computed DISTRIBUTED: range-partition + sort by oid, count
+    * rows per partition, prefix-sum the (tiny, one-per-partition) counts
+    * on the driver, then add each row's local ordinal to its partition
+    * offset. Deterministic and partition-invariant (the rank is a property
+    * of the global sort order, not of where the range boundaries fall) —
+    * unlike a `row_number() OVER (ORDER BY ...)` with no partitionBy, which
+    * funnels the whole distinct set through ONE task and cannot survive the
+    * 10^8-repo scale of the north star. */
   def vertexDictionary(files: DataFrame): DataFrame = {
     val owners = files.select(col("repo").as("oid"))
     val targets = importTargets(files).select(col("to_repo").as("oid"))
-    owners.unionByName(targets).distinct()
-      .withColumn("vid",
-        row_number().over(Window.orderBy(col("oid"))).cast("long") - 1L)
-      .select("vid", "oid")
+    val distinctOids = owners.unionByName(targets).distinct()
+    val spark = files.sparkSession
+    import spark.implicits._
+    val sorted = distinctOids
+      .repartitionByRange(col("oid"))
+      .sortWithinPartitions(col("oid"))
+      .as[String]
+      .localCheckpoint(true) // materialize once: the count job and the
+                             // assignment job must see identical partitions
+    val counts = sorted.mapPartitions(it => Iterator.single(it.size))
+      .collect() // one Int per partition — driver-side prefix sum only
+    val offsets = counts.scanLeft(0L)(_ + _)
+    sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var i = offsets(pid)
+      it.map { oid => val r = (i, oid); i += 1; r }
+    }.toDF("vid", "oid")
   }
 
   /** Parse `import org.repoK....` links out of file contents. One row per
@@ -56,8 +77,13 @@ object GraphBuilder {
     * ubiquitous basenames like README would otherwise induce a quadratic
     * clique; the cap bounds the self-join output at maxFanout^2 per key). */
   def coOccurrencePairs(files: DataFrame, maxFanout: Int = 32): DataFrame = {
+    // Basename = filename stem with any trailing `_<digits>` uniquifier
+    // stripped (the synthetic table suffixes stems with a globally unique
+    // row id — File3_1742.scala and File3_88.java co-occur as "File3";
+    // without the strip every stem is unique and the self-join is empty).
     val base = files.select(
-      regexp_extract(col("path"), "([^/]+)\\.[^.]+$", 1).as("basename"),
+      regexp_extract(col("path"), "([^/]+?)(_[0-9]+)?\\.[^.]+$", 1)
+        .as("basename"),
       col("repo")).distinct()
     val capped = base
       .withColumn("n", count(lit(1)).over(

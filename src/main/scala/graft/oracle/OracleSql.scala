@@ -310,6 +310,300 @@ object OracleSql {
     sb.toString
   }
 
+  /** k-shell membership via the h-index fixpoint on core estimates
+    * (mirrors graft.apps.KShell.coreNumbers; reference: apps/kshell/
+    * kshell.h peeling semantics — identical fixpoint). est_0 = degree;
+    * each round est(v) = min(est(v), H-index of neighbor estimates);
+    * h-index in SQL: rank neighbor estimates descending, count ranks with
+    * est >= rank. `rounds` must exceed the fixpoint round (asserted in
+    * OracleConsistencySpec). */
+  def kshell(k: Int = 3, rounds: Int = 15): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $graphCtes,\n"
+    sb ++=
+      """k0 AS (SELECT v.vid, COALESCE(d.deg, 0) AS core
+        |       FROM verts v LEFT JOIN degt d ON v.vid = d.vid)
+        |""".stripMargin
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb ++= s""",
+        |hx$i AS (SELECT vid,
+        |          MAX(CASE WHEN est >= rn THEN rn ELSE 0 END) AS h
+        |         FROM (SELECT e.dst AS vid, l.core AS est,
+        |                 ROW_NUMBER() OVER (PARTITION BY e.dst
+        |                   ORDER BY l.core DESC) AS rn
+        |               FROM edges e JOIN k$p l ON e.src = l.vid) x
+        |         GROUP BY vid),
+        |k$i AS (SELECT t.vid,
+        |         CASE WHEN h.vid IS NULL THEN t.core
+        |              WHEN h.h < t.core THEN h.h ELSE t.core END AS core
+        |        FROM k$p t LEFT JOIN hx$i h ON t.vid = h.vid)
+        |""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT CAST(vid AS BIGINT) AS vid,
+      |       CAST(CASE WHEN core = $k THEN 1 ELSE 0 END AS BIGINT)
+      |         AS in_shell
+      |FROM k$rounds
+      |""".stripMargin
+    sb.toString
+  }
+
+  /** HITS at a FIXED round count (the catalog query pins tolerance = 0 so
+    * the app runs exactly `rounds` rounds; reference recurrence
+    * apps/hits/hits.h:35-204 — per-round max normalization, final sum
+    * normalization). */
+  def hits(rounds: Int = 15): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $graphCtes,\n"
+    sb ++=
+      """nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+        |h0 AS (SELECT vid, (SELECT 1.0 / n FROM nn) AS hub,
+        |       CAST(0.0 AS DOUBLE) AS auth FROM verts)
+        |""".stripMargin
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb ++= s""",
+        |ar$i AS (SELECT v.vid, COALESCE(m.s, 0.0) AS auth
+        |        FROM verts v LEFT JOIN (
+        |          SELECT e.dst AS vid, SUM(h.hub) AS s
+        |          FROM edges e JOIN h$p h ON e.src = h.vid
+        |          GROUP BY e.dst) m ON v.vid = m.vid),
+        |hr$i AS (SELECT v.vid, COALESCE(m.s, 0.0) AS hub
+        |        FROM verts v LEFT JOIN (
+        |          SELECT e.src AS vid, SUM(a.auth) AS s
+        |          FROM edges e JOIN ar$i a ON e.dst = a.vid
+        |          GROUP BY e.src) m ON v.vid = m.vid),
+        |mx$i AS (SELECT (SELECT MAX(hub) FROM hr$i) AS mh,
+        |               (SELECT MAX(auth) FROM ar$i) AS ma),
+        |h$i AS (SELECT h.vid, h.hub / (SELECT mh FROM mx$i) AS hub,
+        |              a.auth / (SELECT ma FROM mx$i) AS auth
+        |        FROM hr$i h JOIN ar$i a ON h.vid = a.vid)
+        |""".stripMargin
+    }
+    sb ++= s""",
+      |sm AS (SELECT SUM(hub) AS sh, SUM(auth) AS sa FROM h$rounds)
+      |SELECT CAST(vid AS BIGINT) AS vid,
+      |       ROUND(hub / (SELECT sh FROM sm), 6) AS hub,
+      |       ROUND(auth / (SELECT sa FROM sm), 6) AS auth
+      |FROM h$rounds
+      |""".stripMargin
+    sb.toString
+  }
+
+  /** Eigenvector centrality at a FIXED round count (catalog pins
+    * tolerance = 0; reference: apps/centrality/eigenvector/
+    * eigenvector_centrality.h — self term + in-neighbor sum, L2
+    * normalization per round). */
+  def eigenvector(rounds: Int = 15): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $graphCtes,\n"
+    sb ++=
+      """nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+        |x0 AS (SELECT vid, (SELECT 1.0 / n FROM nn) AS x FROM verts)
+        |""".stripMargin
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb ++= s""",
+        |xr$i AS (SELECT v.vid, x.x + COALESCE(m.s, 0.0) AS x
+        |        FROM verts v JOIN x$p x ON v.vid = x.vid
+        |        LEFT JOIN (
+        |          SELECT e.dst AS vid, SUM(l.x) AS s
+        |          FROM edges e JOIN x$p l ON e.src = l.vid
+        |          GROUP BY e.dst) m ON v.vid = m.vid),
+        |nrm$i AS (SELECT SQRT(SUM(x * x)) AS nrm FROM xr$i),
+        |x$i AS (SELECT vid, x / (SELECT nrm FROM nrm$i) AS x FROM xr$i)
+        |""".stripMargin
+    }
+    sb ++= s"\nSELECT CAST(vid AS BIGINT) AS vid, ROUND(x, 6)" +
+      s" AS centrality FROM x$rounds\n"
+    sb.toString
+  }
+
+  /** Katz centrality at a FIXED round count (catalog pins tolerance = 0;
+    * reference: apps/centrality/katz/katz_centrality.h — x0 = 0,
+    * x' = alpha*Σ in-nbr + beta, no per-round normalization, final L2). */
+  def katz(rounds: Int = 15, alpha: Double = 0.1, beta: Double = 1.0)
+      : String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $graphCtes,\n"
+    sb ++= "x0 AS (SELECT vid, CAST(0.0 AS DOUBLE) AS x FROM verts)\n"
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb ++= s""",
+        |x$i AS (SELECT v.vid, $alpha * COALESCE(m.s, 0.0) + $beta AS x
+        |        FROM verts v LEFT JOIN (
+        |          SELECT e.dst AS vid, SUM(l.x) AS s
+        |          FROM edges e JOIN x$p l ON e.src = l.vid
+        |          GROUP BY e.dst) m ON v.vid = m.vid)
+        |""".stripMargin
+    }
+    sb ++= s""",
+      |nrm AS (SELECT SQRT(SUM(x * x)) AS nrm FROM x$rounds)
+      |SELECT CAST(vid AS BIGINT) AS vid,
+      |       ROUND(x / (SELECT nrm FROM nrm), 6) AS centrality
+      |FROM x$rounds
+      |""".stripMargin
+    sb.toString
+  }
+
+  /** Average local clustering coefficient (reference:
+    * apps/clustering/avg_clustering.h — mean over ALL vertices, deg<2
+    * contributing 0). */
+  val avgClustering: String =
+    s"""WITH $graphCtes, $triangleCtes
+       |SELECT ROUND(AVG(CASE WHEN COALESCE(d.deg, 0) < 2 THEN 0.0
+       |         ELSE 2.0 * CAST(COALESCE(t.triangles, 0) AS DOUBLE)
+       |              / CAST(d.deg * (d.deg - 1) AS DOUBLE) END), 6)
+       |         AS avg_clustering
+       |FROM verts v LEFT JOIN degt d ON v.vid = d.vid
+       |            LEFT JOIN tcnt t ON v.vid = t.vid
+       |""".stripMargin
+
+  /** LPA-U2I unrolled (reference: apps/lpa/lpa_u2i.h:30-249): bipartite
+    * customer->part graph from orders x lineitem, weight = l_quantity,
+    * two features as scalar columns; steps 2..maxRound alternate u2i / i2u
+    * with the pin / degree-normalization rules (see graft.apps.LPAU2I). */
+  def lpaU2I(maxRound: Int = 5): String = {
+    val sb = new StringBuilder
+    sb ++=
+      """WITH uedges AS (
+        |  SELECT o.o_custkey AS u, l.l_partkey AS i, l.l_quantity AS w
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |odeg AS (SELECT u, CAST(COUNT(*) AS DOUBLE) AS outdeg
+        |         FROM uedges GROUP BY u),
+        |ideg AS (SELECT i, CAST(COUNT(*) AS DOUBLE) AS indeg
+        |         FROM uedges GROUP BY i),
+        |onid AS (SELECT e.u, SUM(d.indeg) AS onids
+        |         FROM uedges e JOIN ideg d ON e.i = d.i GROUP BY e.u),
+        |u1 AS (SELECT c_custkey AS vid,
+        |        CAST(CASE WHEN c_custkey % 4 = 0 THEN 1.0
+        |             WHEN c_custkey % 4 = 1 THEN 0.0
+        |             ELSE 0.5 END AS DOUBLE) AS f1,
+        |        CAST(CASE WHEN c_custkey % 5 = 0 THEN 1.0
+        |             ELSE 0.3 END AS DOUBLE) AS f2
+        |       FROM customer)
+        |""".stripMargin
+    for (step <- 2 to maxRound) {
+      val p = step - 1
+      // latest USER state CTE: u1, then u3, u5, ... (only odd steps write
+      // user state; even steps write item state i$step)
+      val pu = if (step % 2 == 0) s"u$p"
+        else if (step - 2 >= 3) s"u${step - 2}" else "u1"
+      if (step % 2 == 0) {
+        sb ++= s""",
+          |i$step AS (SELECT e.i, SUM(u.f1 * e.w) AS f1,
+          |               SUM(u.f2 * e.w) AS f2
+          |          FROM uedges e JOIN $pu u ON e.u = u.vid GROUP BY e.i)
+          |""".stripMargin
+      } else {
+        sb ++= s""",
+          |t$step AS (SELECT e.u AS vid, SUM(i.f1 * e.w) AS t1,
+          |               SUM(i.f2 * e.w) AS t2
+          |          FROM uedges e JOIN i$p i ON e.i = i.i GROUP BY e.u),
+          |u$step AS (SELECT u.vid,
+          |          CASE WHEN u.f1 = 0.0 OR u.f1 = 1.0 THEN u.f1
+          |               WHEN COALESCE(o.onids, 0.0)
+          |                    - COALESCE(d.outdeg, 0.0) <> 0.0
+          |                 THEN (COALESCE(t.t1, 0.0)
+          |                       - COALESCE(d.outdeg, 0.0) * u.f1)
+          |                      / (o.onids - d.outdeg)
+          |               ELSE u.f1 END AS f1,
+          |          CASE WHEN u.f2 = 0.0 OR u.f2 = 1.0 THEN u.f2
+          |               WHEN COALESCE(o.onids, 0.0)
+          |                    - COALESCE(d.outdeg, 0.0) <> 0.0
+          |                 THEN (COALESCE(t.t2, 0.0)
+          |                       - COALESCE(d.outdeg, 0.0) * u.f2)
+          |                      / (o.onids - d.outdeg)
+          |               ELSE u.f2 END AS f2
+          |         FROM $pu u LEFT JOIN t$step t ON u.vid = t.vid
+          |              LEFT JOIN odeg d ON u.vid = d.u
+          |              LEFT JOIN onid o ON u.vid = o.u)
+          |""".stripMargin
+      }
+    }
+    // Output the latest USER state (the last odd step <= maxRound).
+    val lastU = if (maxRound % 2 == 1) maxRound else maxRound - 1
+    val last = if (lastU >= 3) s"u$lastU" else "u1"
+    sb ++= s"""
+      |SELECT CAST(vid AS BIGINT) AS vid, ROUND(f1, 6) AS f1,
+      |       ROUND(f2, 6) AS f2
+      |FROM $last
+      |""".stripMargin
+    sb.toString
+  }
+
+  /** sampling_path oracle: label pattern customer-placed-order-contains-
+    * part as a plain join chain (reference: apps/sampling_path/
+    * sampling_path.h:27). */
+  val samplingPath: String =
+    """SELECT c.c_custkey AS v0, o.o_orderkey AS v1, l.l_partkey AS v2
+      |FROM customer c
+      |JOIN orders o ON o.o_custkey = c.c_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE c.c_custkey % 100 = 0
+      |""".stripMargin
+
+  /** sssp_path: dist + canonical min parent (reference: apps/sssp/
+    * sssp_path.h; parent nondeterminism canonicalized — see
+    * graft.apps.SSSP.runWithParents; weights are small integers so the
+    * dist equality is exact). */
+  def ssspPath(rounds: Int = 30): String = {
+    val base = sssp(rounds)
+    // strip the final SELECT of the sssp oracle, keep its CTE chain
+    val cut = base.lastIndexOf("\nSELECT CAST(vid AS BIGINT)")
+    base.substring(0, cut) + s"""
+      |SELECT CAST(t.vid AS BIGINT) AS vid,
+      |       COALESCE(t.dist, -1.0) AS dist,
+      |       CAST(CASE WHEN t.vid = (SELECT MIN(vid) FROM verts)
+      |                  OR t.dist IS NULL THEN -1
+      |                 ELSE COALESCE(p.parent, -1) END AS BIGINT) AS parent
+      |FROM t$rounds t LEFT JOIN (
+      |  SELECT e.dst AS vid, MIN(e.src) AS parent
+      |  FROM w e JOIN t$rounds a ON e.src = a.vid
+      |           JOIN t$rounds b ON e.dst = b.vid
+      |  WHERE a.dist IS NOT NULL AND b.dist IS NOT NULL
+      |    AND a.dist + e.weight = b.dist
+      |  GROUP BY e.dst) p ON t.vid = p.vid
+      |""".stripMargin
+  }
+
+  /** sssp_has_path: reachability min-vid -> max-vid via the BFS unroll
+    * (reference: apps/sssp/sssp_has_path.h). */
+  def ssspHasPath(rounds: Int = 15): String = {
+    val base = bfs(rounds)
+    val cut = base.lastIndexOf("\nSELECT CAST(vid AS BIGINT)")
+    base.substring(0, cut) + s"""
+      |SELECT CAST((SELECT MIN(vid) FROM verts) AS BIGINT) AS src,
+      |       CAST((SELECT MAX(vid) FROM verts) AS BIGINT) AS dst,
+      |       CAST(CASE WHEN d.depth IS NOT NULL THEN 1 ELSE 0 END
+      |         AS BIGINT) AS has_path
+      |FROM d$rounds d WHERE d.vid = (SELECT MAX(vid) FROM verts)
+      |""".stripMargin
+  }
+
+  /** BFS tree with canonical min parent one level up (reference:
+    * apps/bfs/bfs_generic.h:30-33 edges/predecessors formats;
+    * see graft.apps.BFS.runWithParents). */
+  def bfsParents(rounds: Int = 15): String = {
+    val base = bfs(rounds)
+    val cut = base.lastIndexOf("\nSELECT CAST(vid AS BIGINT)")
+    base.substring(0, cut) + s"""
+      |SELECT CAST(t.vid AS BIGINT) AS vid,
+      |       CAST(COALESCE(t.depth, -1) AS BIGINT) AS depth,
+      |       CAST(CASE WHEN t.vid = (SELECT MIN(vid) FROM verts)
+      |                  OR t.depth IS NULL THEN -1
+      |                 ELSE COALESCE(p.parent, -1) END AS BIGINT) AS parent
+      |FROM d$rounds t LEFT JOIN (
+      |  SELECT e.dst AS vid, MIN(e.src) AS parent
+      |  FROM edges e JOIN d$rounds a ON e.src = a.vid
+      |              JOIN d$rounds b ON e.dst = b.vid
+      |  WHERE a.depth IS NOT NULL AND b.depth IS NOT NULL
+      |    AND a.depth + 1 = b.depth
+      |  GROUP BY e.dst) p ON t.vid = p.vid
+      |""".stripMargin
+  }
+
   // ---- Interactive (Gremlin §2.4) operator-surface oracles over TPC-H ----
 
   val iFilter: String =
@@ -358,7 +652,56 @@ object OracleSql {
 
   val iAntiJoin: String =
     """SELECT c_custkey, c_name FROM customer
-      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      |WHERE c_custkey NOT IN
+      |  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |""".stripMargin
+
+  /** Deterministic multiplicative-hash Bernoulli sample (~10%). */
+  val iSample: String =
+    """SELECT o_orderkey, o_custkey FROM orders
+      |WHERE MOD(o_orderkey * 2654435761, 4294967296) < 429496729
+      |""".stripMargin
+
+  /** Self-checking ESTIMATE_COUNT: DuckDB's own HLL estimate must land
+    * within 10% of its exact distinct count (estimates are not
+    * cross-engine comparable; the CHECK is). */
+  val iEstimateCount: String =
+    """SELECT CAST(CASE WHEN
+      |  ABS(CAST(approx_count_distinct(o_custkey) AS DOUBLE)
+      |      - CAST(COUNT(DISTINCT o_custkey) AS DOUBLE))
+      |  <= 0.1 * CAST(COUNT(DISTINCT o_custkey) AS DOUBLE)
+      |  THEN 1 ELSE 0 END AS BIGINT) AS ok
+      |FROM orders
+      |""".stripMargin
+
+  /** Replay of iPredicates: the `[05]$` regex as a LIKE disjunction,
+    * CONTAINS/STARTSWITH as LIKE, WITHIN as IN. */
+  val iPredicates: String =
+    """SELECT c_custkey, c_name, c_nationkey FROM customer
+      |WHERE (c_name LIKE '%0' OR c_name LIKE '%5')
+      |  AND c_name LIKE '%1%'
+      |  AND c_name LIKE 'Customer#%'
+      |  AND c_nationkey IN (1, 3, 5, 7, 9, 11)
+      |""".stripMargin
+
+  /** 2-hop simple paths from the min vertex of the co-purchase graph. */
+  val iSimplePath: String =
+    s"""WITH $graphCtes
+       |SELECT e1.src AS v0, e1.dst AS v1, e2.dst AS v2
+       |FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+       |WHERE e1.src = (SELECT MIN(vid) FROM verts)
+       |  AND e2.dst <> e1.src AND e2.dst <> e1.dst
+       |""".stripMargin
+
+  /** Planted near-duplicate ground truth (see Queries.eCosNearDup: copies
+    * are exact positive scalings -> cosine 1.0 after 6-decimal rounding,
+    * SRP buckets provably identical -> exact recall; natural pairs max out
+    * near 0.51, far under the 0.95 threshold). */
+  val eCosNearDup: String =
+    """SELECT CAST(vec_id AS BIGINT) AS id_a,
+      |       CAST(vec_id + 1000000 AS BIGINT) AS id_b,
+      |       CAST(1.0 AS DOUBLE) AS cos
+      |FROM embeddings WHERE vec_id < 50
       |""".stripMargin
 
   val iAggs: String =

@@ -40,9 +40,14 @@ object Pregel {
     val p = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
     val bcast = Strategy.smallEnoughToBroadcast(g.numVertices)
-    val edges = (if (bcast) g.edges
-      else g.edges.repartition(p, col("src"))).persist()
+    // Persist a PRIVATE projection, not the caller's frame: persisting
+    // g.edges directly and unpersisting it on exit would silently evict a
+    // cache the caller shares (e.g. a memoized graph's edge frame).
     val edgeCols = g.edges.columns.toSeq
+    val edges = {
+      val own = g.edges.select(edgeCols.map(col): _*)
+      (if (bcast) own else own.repartition(p, col("src"))).persist()
+    }
 
     val initState = g.vertices
       .select(col("vid"), init.as("state"))

@@ -73,15 +73,22 @@ object Dedup {
           .partitionBy(col("band"), col("bh"))))
       .where(col("bn") <= maxBucket).drop("bn")
 
-    val a = capped.select(col("band"), col("bh"), col("id").as("id_a"),
-      col("sig").as("sig_a"))
-    val b = capped.select(col("band"), col("bh"), col("id").as("id_b"),
-      col("sig").as("sig_b"))
+    // Dedup candidate PAIRS on the ids alone (a pair collides in several
+    // bands), then re-attach the signatures once per surviving pair — a
+    // distinct over (id_a, id_b, sig_a, sig_b) would ship both full
+    // signature arrays through the dedup shuffle as part of the key.
+    val a = capped.select(col("band"), col("bh"), col("id").as("id_a"))
+    val b = capped.select(col("band"), col("bh"), col("id").as("id_b"))
     val cand = a.join(b, Seq("band", "bh"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .select("id_a", "id_b").distinct()
 
-    cand.select(col("id_a"), col("id_b"),
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")),
+        "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sig_a"), col("sig_b"))).cast("double")
           / size(col("sig_a"))).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)

@@ -28,7 +28,7 @@ class OracleConsistencySpec extends SparkSpec {
   val dir: String =
     sys.env.getOrElse("GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
   val tables = Seq("region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents")
+    "orders", "lineitem", "events", "documents", "embeddings")
 
   override def beforeAll(): Unit = {
     super.beforeAll()
@@ -41,11 +41,14 @@ class OracleConsistencySpec extends SparkSpec {
 
   val nonIterative: Seq[String] = Seq(
     "g_degree", "g_triangles", "g_clustering", "g_transitivity",
-    "g_degree_centrality",
+    "g_degree_centrality", "g_avg_clustering", "g_sampling_path",
+    "g_lpa_u2i",
     "i_filter", "i_out_join", "i_group_count", "i_order_limit",
     "i_range_local", "i_dedup", "i_union", "i_semi_join", "i_anti_join",
     "i_aggs", "i_math", "i_fold_unfold",
-    "d_exact_dedup", "d_token_count", "d_quality", "d_langid")
+    "i_sample", "i_estimate_count", "i_predicates", "i_simple_path",
+    "d_exact_dedup", "d_token_count", "d_quality", "d_langid",
+    "e_cos_neardup")
 
   for (name <- nonIterative) {
     test(s"$name: Spark impl == oracle SQL (full)") {
@@ -93,10 +96,64 @@ class OracleConsistencySpec extends SparkSpec {
       () => SSSP.run(CoPurchase.weighted(g), minVid, maxRounds = 3)
         .select(vl("vid").as("vid"), col("dist")),
       OracleSql.sssp(3)),
-    ("g_kcore", 3,
-      () => KCore.run(g, 3, maxRounds = 3)
-        .select(vl("vid").as("vid"), vl("in_core").as("in_core")),
-      OracleSql.kcore(3, 3)))
+    ("g_sssp_path", 3,
+      () => SSSP.runWithParents(CoPurchase.weighted(g), minVid,
+          maxRounds = 3)
+        .select(vl("vid").as("vid"), col("dist"),
+          vl("parent").as("parent")),
+      OracleSql.ssspPath(3)),
+    ("g_bfs_parents", 3,
+      () => BFS.runWithParents(g, minVid, depthLimit = 3)
+        .select(vl("vid").as("vid"), vl("depth").as("depth"),
+          vl("parent").as("parent")),
+      OracleSql.bfsParents(3)),
+    ("g_sssp_has_path", 3,
+      () => {
+        val (lo, hi) = {
+          val r = g.vertices.agg(min(col("vid")), max(col("vid"))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        BFS.run(g, lo, depthLimit = 3).where(col("vid") === hi)
+          .select(lit(lo).as("src"), lit(hi).as("dst"),
+            when(col("depth") >= 0, lit(1L)).otherwise(lit(0L))
+              .as("has_path"))
+      },
+      OracleSql.ssspHasPath(3)),
+    ("g_kshell", 2,
+      () => KShell.coreNumbers(g, maxRounds = 2)
+        .select(vl("vid").as("vid"),
+          when(col("core") === 3, lit(1L)).otherwise(lit(0L))
+            .as("in_shell")),
+      OracleSql.kshell(3, 2)),
+    ("g_hits", 2,
+      () => HITS.run(g, tolerance = 0.0, maxRound = 2)
+        .select(vl("vid").as("vid"), round(col("hub"), 6).as("hub"),
+          round(col("auth"), 6).as("auth")),
+      OracleSql.hits(2)),
+    ("g_eigenvector", 2,
+      () => Centrality.eigenvector(g, tolerance = 0.0, maxRound = 2)
+        .select(vl("vid").as("vid"),
+          round(col("centrality"), 6).as("centrality")),
+      OracleSql.eigenvector(2)),
+    ("g_katz", 2,
+      () => Centrality.katz(g, tolerance = 0.0, maxRound = 2)
+        .select(vl("vid").as("vid"),
+          round(col("centrality"), 6).as("centrality")),
+      OracleSql.katz(2)))
+
+  /** The k-core SQL template replays bounded synchronous peeling — checked
+    * against the in-JVM peel (the product KCore now derives membership
+    * from the h-index core decomposition; the peel stays test-side as the
+    * oracle-of-the-oracle). */
+  test("g_kcore: unrolled peel template @3 == in-JVM bounded peel") {
+    val verts = g.vertices.collect().map(_.getLong(0)).toSeq
+    val pairs = g.edges.where(col("src") < col("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val (want, _) = TestOracles.kcorePeel(verts, pairs, 3, rounds = 3)
+    val got = spark.sql(OracleSql.kcore(3, 3)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "kcore peel template vs in-JVM peel")
+  }
 
   for ((name, rounds, impl, sql) <- boundedCases) {
     test(s"$name: unrolled template @$rounds rounds == bounded app run") {
@@ -123,10 +180,22 @@ class OracleConsistencySpec extends SparkSpec {
     assertSameRows(bounded, fix, "sssp@29 vs fixpoint")
   }
 
-  test("kcore peeling converges inside the shipped 20-round unroll") {
-    val bounded = KCore.run(g, 3, maxRounds = 19)
-    val fix = KCore.run(g, 3)
-    assertSameRows(bounded, fix, "kcore@19 vs fixpoint")
+  test("kcore peeling converges inside the shipped 20-round unroll and " +
+      "the h-index product path agrees with the peel fixpoint") {
+    val verts = g.vertices.collect().map(_.getLong(0)).toSeq
+    val pairs = g.edges.where(col("src") < col("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val (want, waves) = TestOracles.kcorePeel(verts, pairs, 3)
+    assert(waves <= 19, s"peel needs $waves waves; unroll is 20")
+    val got = KCore.run(g, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "KCore (h-index) vs peel fixpoint")
+  }
+
+  test("kshell h-index fixpoint converges inside the shipped 15-round " +
+      "unroll") {
+    assertSameRows(KShell.coreNumbers(g, maxRounds = 12),
+      KShell.coreNumbers(g), "kshell@12 vs fixpoint")
   }
 
   test("oracle outputs are never DECIMAL-typed (driver hashes values " +
@@ -146,12 +215,14 @@ class OracleConsistencySpec extends SparkSpec {
   test("every query key has either an oracle or a documented exemption") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val exempt = Set(
-      // tolerance-gated iteration counts (no fixed unroll possible)
-      "g_hits", "g_eigenvector", "g_katz", "g_kshell",
+      // label-set-valued result: exact assignment is not SQL-definable;
+      // covered by LouvainSpec (planted partitions, modularity,
+      // partition-count invariance)
+      "g_louvain",
       // hash-function-dependent or array-typed outputs DuckDB can't
       // reproduce portably; covered by in-JVM oracles in ScalaTest
       "d_minhash_pairs", "d_simhash", "d_ngram_jaccard", "d_fingerprint",
-      "e_ann_topk", "e_ann_lsh", "e_cos_neardup", "m_media_features")
+      "e_ann_topk", "e_ann_lsh", "m_media_features")
     assert(noOracle.subsetOf(exempt),
       s"queries without oracle or exemption: ${noOracle -- exempt}")
   }

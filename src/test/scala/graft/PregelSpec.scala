@@ -57,7 +57,7 @@ class PregelSpec extends SparkSpec {
     val unpacked = blocks.collect().flatMap { b =>
       b.srcIds.indices.flatMap { i =>
         (b.dstOffsets(i) until b.dstOffsets(i + 1))
-          .map(j => (b.srcIds(i), b.dstIds(j)))
+          .map(j => (b.srcIds(i), b.dstUnique(b.dstIndex(j))))
       }
     }.toSet
     assert(unpacked == dirEdges.toSet)
@@ -72,6 +72,18 @@ class PregelSpec extends SparkSpec {
     val want = dirEdges.groupBy(_._2).view
       .mapValues(_.map(_._1 * 1.5).sum).toMap
     assertAllClose(got, want, 1e-12, "gatherSum")
+  }
+
+  test("PageRank via forced CSR gather tier == default tier") {
+    import graft.apps.PageRank
+    val want = PageRank.run(g, 0.85, 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    sys.props("graft.force.csr") = "true"
+    try {
+      val got = PageRank.run(g, 0.85, 10).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assertAllClose(got, want, 1e-12, "csr pagerank")
+    } finally sys.props.remove("graft.force.csr")
   }
 
   test("multimodal: binary plumbing + stub decode is deterministic") {

@@ -68,6 +68,25 @@ class SourceGraphSpec extends SparkSpec {
       .map(r => r.getString(1) -> r.getLong(0)).toMap
     assert(d1 == d2)
     assert(d1.values.min == 0 && d1.values.max == d1.size - 1)
+    // vid = global sort rank of oid (the distributed assignment must match
+    // the definition the old single-partition window implemented)
+    val want = d1.keys.toSeq.sorted.zipWithIndex
+      .map { case (o, i) => o -> i.toLong }.toMap
+    assert(d1 == want, "vid is not the oid sort rank")
+  }
+
+  test("co-occurrence derivation is alive: shared basenames across repos " +
+      "produce pairs") {
+    // r1 defect: the generated filename stem embedded a globally unique
+    // row id, so every basename was unique and this self-join was silently
+    // EMPTY — the documented co-occurrence edges never existed.
+    // maxFanout lifted above nRepos: the synthetic table reuses only 64
+    // basenames over 80 repos, so at the production cap (32) most
+    // basenames are correctly treated as ubiquitous-README-style hubs and
+    // dropped — here we assert the derivation itself works.
+    val co = GraphBuilder.coOccurrencePairs(files, maxFanout = 100)
+    assert(co.count() > 0, "co-occurrence pairs are empty")
+    assert(co.where(col("ra") === col("rb")).count() == 0)
   }
 
   test("pagerank + wcc on the repo graph: invariant across parallelism") {

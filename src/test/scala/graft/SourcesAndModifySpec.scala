@@ -1,0 +1,84 @@
+package graft
+
+import graft.graph.PropertyGraph
+import graft.sources.TableSource
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Loader option semantics (§2.7) + NX MODIFY_* batch deltas (§2.3). */
+class SourcesAndModifySpec extends SparkSpec {
+
+  def tmpDir(): String =
+    Files.createTempDirectory("graft-src").toString
+
+  test("csv loader: header + delimiter options round-trip") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((1L, "a", 2.5), (2L, "b", -1.0)).toDF("id", "name", "score")
+      .coalesce(1).write.option("header", "true").option("sep", "|")
+      .csv(s"$dir/t")
+    val back = TableSource.csv(spark, s"$dir/t", headerRow = true,
+      delimiter = "|")
+    assert(back.columns.toSeq == Seq("id", "name", "score"))
+    assert(back.count() == 2)
+    assert(back.where(col("name") === "a").head().getDouble(2) == 2.5)
+  }
+
+  test("csv loader: header_row=false names columns f0..fN " +
+      "(loader.py:126)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((7L, "x"), (8L, "y")).toDF("a", "b")
+      .coalesce(1).write.option("header", "false").csv(s"$dir/t")
+    val back = TableSource.csv(spark, s"$dir/t", headerRow = false)
+    assert(back.columns.toSeq == Seq("f0", "f1"))
+    assert(back.count() == 2)
+  }
+
+  test("edge-list text loader parses `src dst [weight]` " +
+      "(run_app.h:197-210)") {
+    val dir = tmpDir()
+    Files.writeString(java.nio.file.Paths.get(dir, "g.e"),
+      "1 2 0.5\n2 3\n\n3 1 2.0\n")
+    val e = TableSource.edgeListFile(spark, s"$dir/g.e")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(e == Set((1L, 2L, 0.5), (2L, 3L, 1.0), (3L, 1L, 2.0)))
+  }
+
+  def pg: PropertyGraph = {
+    import spark.implicits._
+    PropertyGraph()
+      .addVertices("person",
+        Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+          .toDF("vid", "name", "age"))
+      .addEdges("person", "knows", "person",
+        Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"))
+  }
+
+  test("MODIFY: delete vertices cascades to incident edges") {
+    import spark.implicits._
+    val g2 = pg.deleteVertices("person", Seq(2L).toDF("vid"))
+    assert(g2.nodeNum("person") == 2)
+    val left = g2.edgeLabels(("person", "knows", "person"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(left == Set((3L, 1L)))
+  }
+
+  test("MODIFY: delete edges by pair") {
+    import spark.implicits._
+    val g2 = pg.deleteEdges(("person", "knows", "person"),
+      Seq((2L, 3L)).toDF("src", "dst"))
+    assert(g2.edgeNum(("person", "knows", "person")) == 2)
+    assert(!g2.hasEdge(("person", "knows", "person"), 2L, 3L))
+  }
+
+  test("MODIFY: update vertices upserts delta columns, keeps the rest") {
+    import spark.implicits._
+    val g2 = pg.updateVertices("person",
+      Seq((2L, 99)).toDF("vid", "age"))
+    val rows = g2.vertexLabels("person").orderBy("vid").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(rows == Seq((1L, "a", 10), (2L, "b", 99), (3L, "c", 30)))
+  }
+}

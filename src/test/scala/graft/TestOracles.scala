@@ -124,6 +124,29 @@ object TestOracles {
       v -> (if (d == Double.MaxValue) -1.0 else d) }.toMap
   }
 
+  /** Bounded synchronous peeling at fixed k (reference kcore.h semantics:
+    * each wave removes ALL alive vertices with alive-degree < k at once).
+    * @return (membership 0/1 after min(rounds, fixpoint) waves,
+    *         waves to fixpoint when reached within `rounds`). */
+  def kcorePeel(verts: Seq[Long], edges: Seq[(Long, Long)], k: Int,
+      rounds: Int = Int.MaxValue): (Map[Long, Long], Int) = {
+    val nbrs = mutable.Map[Long, mutable.Set[Long]]()
+    for ((a, b) <- edges if a != b) {
+      nbrs.getOrElseUpdate(a, mutable.Set()) += b
+      nbrs.getOrElseUpdate(b, mutable.Set()) += a
+    }
+    val alive = mutable.Set(verts: _*)
+    var r = 0
+    var changed = true
+    while (changed && r < rounds) {
+      val doomed = alive.filter(v =>
+        nbrs.getOrElse(v, mutable.Set()).count(alive) < k)
+      changed = doomed.nonEmpty
+      if (changed) { r += 1; alive --= doomed }
+    }
+    (verts.map(v => v -> (if (alive(v)) 1L else 0L)).toMap, r)
+  }
+
   /** Core numbers by repeated peeling at escalating k. */
   def coreNumbers(verts: Seq[Long], edges: Seq[(Long, Long)])
       : Map[Long, Long] = {

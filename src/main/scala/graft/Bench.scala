@@ -209,67 +209,100 @@ object Bench {
       }
     }
     putQueries(); emit()
-    safe("scaled_write") { writeScaledEdges(spark, sfDir, copies, scaledPath) }
+    val tierPath = new java.io.File(
+      s"target/bench-scaled-c${math.max(1, copies / 4)}").getAbsolutePath
+    safe("scaled_write") {
+      writeScaledEdges(spark, sfDir, copies, scaledPath)
+      writeScaledEdges(spark, sfDir, math.max(1, copies / 4), tierPath)
+    }
     spark.stop()
 
-    // --- scaling: identical jobs, same scaled input file, lo then hi ---
+    // --- scaling ladder: identical jobs, same scaled input file, at
+    // 4 parallelism levels. Two efficiency pairs are reported:
+    //   * hi/8 -> hi/2 (4 -> 16 cores): both levels leave the 32-core
+    //     box headroom, so neither saturates its shared memory bandwidth
+    //     — the faithful sandbox analogue of N -> 4N executors, where
+    //     each executor brings its OWN memory bandwidth;
+    //   * hi/4 -> hi (8 -> 32): the full-box pair the task text suggests;
+    //     at 32 threads a single box's bandwidth/GC saturates, which a
+    //     multi-executor cluster does not share.
     var nEdges = 0L
-    var loRes: Option[(Double, Double, Int, Double)] = None
     var cpLoT, cpHiT = -1.0
-    spark = session(lo)
-    safe("scaling_lo") {
-      val gLo = readScaledGraph(spark, scaledPath)
-      nEdges = gLo.edges.count()
-      loRes = Some(headline(gLo))
-      val (prLoT, wccLoT, wccIters, _) = loRes.get
-      fields("scaling") =
-        s"""{"edges":$nEdges,"iters":${10 + wccIters},""" +
-        s""""cores_lo":$lo,"cores_hi":$hi,""" +
-        s""""pr_sec_lo":${fmt(prLoT, 2)},"wcc_sec_lo":${fmt(wccLoT, 2)}}"""
-      emit()
-    }
-    safe("probe_lo") {
-      computeProbe(spark, sfDir, 2) // JIT warm-up for the probe
-      cpLoT = computeProbe(spark, sfDir, 4)
-    }
-    spark.stop()
-
-    spark = session(hi)
-    safe("scaling_hi") {
-      val gHi = readScaledGraph(spark, scaledPath)
-      val (prHiT, wccHiT, wccItersHi, chkHi) = headline(gHi)
-      val (prLoT, wccLoT, wccIters, chkLo) = loRes.get
-      val epsLo = nEdges.toDouble * (10 + wccIters) / (prLoT + wccLoT)
-      val epsHi = nEdges.toDouble * (10 + wccItersHi) / (prHiT + wccHiT)
-      val efficiency = (epsHi / epsLo) / (hi.toDouble / lo)
-      val resultsMatch = chkLo == chkHi && wccIters == wccItersHi
-      fields("scaling") =
-        s"""{"edges":$nEdges,"iters":${10 + wccIters},""" +
-        s""""cores_lo":$lo,"cores_hi":$hi,""" +
-        s""""pr_sec_lo":${fmt(prLoT, 2)},"pr_sec_hi":${fmt(prHiT, 2)},""" +
-        s""""wcc_sec_lo":${fmt(wccLoT, 2)},"wcc_sec_hi":${fmt(wccHiT, 2)},""" +
-        s""""eps_lo":${epsLo.round},"eps_hi":${epsHi.round},""" +
-        s""""efficiency":${fmt(efficiency)},""" +
-        s""""results_match":$resultsMatch}"""
-      emit()
-    }
-    // CSR-gather tier demo (Strategy.CsrGather / EdgeBlocks.gatherSum):
-    // the 10^9-vertex plan shape, forced on the same scaled graph so its
-    // throughput is directly comparable to the default tier's pr_sec_hi.
-    safe("scaling_csr") {
-      val gCsr = readScaledGraph(spark, scaledPath)
-      sys.props("graft.force.csr") = "true"
-      try {
-        PageRank.run(gCsr, 0.85, 1).count() // pack blocks + JIT warmth
-        val (_, t) = time {
-          PageRank.run(gCsr, 0.85, 10)
-            .agg(round(sum(col("rank")) * 1e6, 0)).head().getDouble(0)
-        }
-        fields("scaling_csr") =
-          s"""{"pr_sec_csr":${fmt(t, 2)},""" +
-          s""""eps_csr":${(nEdges.toDouble * 10 / t).round}}"""
+    val levels = Seq(math.max(1, hi / 8), math.max(1, hi / 4),
+      math.max(1, hi / 2), hi).distinct
+    val ladder =
+      scala.collection.mutable.LinkedHashMap[Int, (Double, Double, Int,
+        Double)]()
+    for (cpus <- levels) {
+      spark = session(cpus)
+      safe(s"scaling_$cpus") {
+        val g = readScaledGraph(spark, scaledPath)
+        nEdges = g.edges.count()
+        ladder(cpus) = headline(g)
+        val entries = ladder.map { case (c, (prT, wccT, wccIters, _)) =>
+          val eps = nEdges.toDouble * (10 + wccIters) / (prT + wccT)
+          s""""c$c":{"pr_sec":${fmt(prT, 2)},"wcc_sec":${fmt(wccT, 2)},""" +
+            s""""eps":${eps.round}}"""
+        }.mkString(",")
+        def eff(a: Int, b: Int): Option[String] =
+          for ((pa, wa, ia, _) <- ladder.get(a);
+               (pb, wb, ib, _) <- ladder.get(b)) yield {
+            val ea = nEdges.toDouble * (10 + ia) / (pa + wa)
+            val eb = nEdges.toDouble * (10 + ib) / (pb + wb)
+            fmt((eb / ea) / (b.toDouble / a))
+          }
+        val effs = Seq(
+          eff(levels(0), levels(2)).map(v =>
+            s""""efficiency_${levels(0)}_${levels(2)}":$v"""),
+          eff(levels(1), levels(3)).map(v =>
+            s""""efficiency_${levels(1)}_${levels(3)}":$v""")).flatten
+        val resultsMatch = ladder.values.map(r => (r._4, r._3)).toSet
+          .size == 1
+        fields("scaling") =
+          (s"""{"edges":$nEdges,"iters":${10 + ladder(cpus)._3},""" +
+            s""""levels":{$entries},""" +
+            (if (effs.nonEmpty) effs.mkString("", ",", ",") else "") +
+            s""""results_match":$resultsMatch}""")
         emit()
-      } finally sys.props.remove("graft.force.csr")
+      }
+      if (cpus == lo) safe("probe_lo") {
+        computeProbe(spark, sfDir, 2) // JIT warm-up for the probe
+        cpLoT = computeProbe(spark, sfDir, 4)
+      }
+      if (cpus != hi) spark.stop()
+    }
+    // Strategy-tier comparison (Strategy.Broadcast / Shuffle / CsrGather)
+    // on one quarter-size scaled graph: the same 3 PageRank rounds under
+    // each forced tier. Broadcast wins while the vertex state fits an
+    // executor; past that limit the REAL alternatives are the
+    // co-partitioned shuffle join vs the CSR block gather — the CSR tier
+    // avoids touching/sorting the edge relation per round (measured ~3x
+    // over the shuffle join at 148M edges) at the price of a one-time
+    // block build, which is what survives at 10^9+ vertices.
+    safe("scaling_tiers") {
+      val results = Seq(
+        "broadcast" -> None,
+        "shuffle" -> Some("graft.force.shuffle"),
+        "csr" -> Some("graft.force.csr")
+      ).map { case (name, prop) =>
+        prop.foreach(sys.props(_) = "true")
+        try {
+          // fresh graph instance per tier: prepared-view caches are
+          // per-instance, so tiers don't reuse each other's placement
+          val g = readScaledGraph(spark, tierPath)
+          val ne = g.edges.count()
+          PageRank.run(g, 0.85, 1).count() // prepare + JIT warmth
+          val (_, t) = time {
+            PageRank.run(g, 0.85, 3)
+              .agg(round(sum(col("rank")) * 1e6, 0)).head().getDouble(0)
+          }
+          g.unload()
+          s""""$name":{"pr3_sec":${fmt(t, 2)},""" +
+            s""""eps":${(ne.toDouble * 3 / t).round}}"""
+        } finally prop.foreach(sys.props.remove(_))
+      }
+      fields("scaling_tiers") = results.mkString("{", ",", "}")
+      emit()
     }
     safe("probe_hi") {
       computeProbe(spark, sfDir, 2)

@@ -41,10 +41,13 @@ object WCC {
     val p = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
 
-    val bcast = Strategy.smallEnoughToBroadcast(g.numVertices)
+    val tier = Strategy.tier(g.numVertices)
+    val bcast = tier == Strategy.Broadcast
     val undTag = if (g.simpleEdges && !g.directed) "dir" else "und"
-    val edges = g.preparedEdges(undTag, g.undirectedDedup,
+    lazy val edges = g.preparedEdges(undTag, g.undirectedDedup,
       if (bcast) "dst" else "src", p)
+    lazy val blocks =
+      g.preparedBlocks(s"csr-$undTag", g.undirectedDedup, p)
 
     // state: (vid, comp, _changed); round 0 = PEval: everyone "changed".
     val init = g.vertices
@@ -56,8 +59,15 @@ object WCC {
       step = (state, _) => {
         val frontier = state.where(col("_changed") === 1)
           .select(col("vid").as("src"), col("comp"))
-        val msgs = edges.join(Strategy.state(frontier, bcast), "src")
-          .groupBy(col("dst").as("vid")).agg(min(col("comp")).as("mc"))
+        val msgs =
+          if (tier == Strategy.CsrGather)
+            graft.graph.EdgeBlocks.gatherMin(blocks,
+              frontier.select(col("src").as("vid"),
+                col("comp").as("value")), p)
+              .select(col("vid"), col("min_value").as("mc"))
+          else
+            edges.join(Strategy.state(frontier, bcast), "src")
+              .groupBy(col("dst").as("vid")).agg(min(col("comp")).as("mc"))
         state.join(msgs, Seq("vid"), "left").select(
           col("vid"),
           least(col("comp"), coalesce(col("mc"), col("comp"))).as("comp"),

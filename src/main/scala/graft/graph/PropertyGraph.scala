@@ -136,6 +136,31 @@ final case class PropertyGraph(
     edgeLabels(key).where(col("dst") === vid).count()
   def selfLoopsNum(key: (String, String, String)): Long =
     edgeLabels(key).where(col("src") === col("dst")).count()
+
+  // *_BY_LOC ReportTypes (types.proto:227-233 NODES_BY_LOC /
+  // DEG_BY_LOC / ...): the NX layer pages through the graph in
+  // location-addressed chunks (worker + local offset,
+  // dynamic_fragment_reporter.h). The Spark re-expression is a
+  // deterministic keyset page: rows with vid >= `after`, vid-ordered,
+  // `limit` at a time — the same contract (stable, resumable chunks)
+  // without depending on physical placement.
+
+  /** NODES_BY_LOC: one page of vertices (vid order, vid > after). */
+  def nodesByLoc(label: String, after: Long, limit: Int)
+      : Array[org.apache.spark.sql.Row] =
+    vertexLabels(label).where(col("vid") > after)
+      .orderBy(col("vid")).limit(limit).collect()
+
+  /** DEG_BY_LOC: one page of (vid, degree). */
+  def degByLoc(key: (String, String, String), after: Long, limit: Int)
+      : Array[(Long, Long)] = {
+    val e = edgeLabels(key)
+    val deg = e.select(col("src").as("vid"))
+      .unionByName(e.select(col("dst").as("vid")))
+      .groupBy("vid").agg(count(lit(1)).as("deg"))
+    deg.where(col("vid") > after).orderBy(col("vid")).limit(limit)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+  }
 }
 
 object PropertyGraph {

@@ -146,6 +146,37 @@ final case class SimpleGraph(
         directed = false)
     }
 
+  /** TO_DIRECTED (dag_utils.py:490 / grape_instance.cc:619): reinterpret
+    * an undirected graph as directed — the symmetric closure is already
+    * materialized both ways (each undirected edge becomes the two
+    * directed arcs, matching DynamicFragment's conversion). */
+  def toDirected: SimpleGraph =
+    if (directed) this else copy(directed = true, simpleEdges = false)
+
+  /** CLEAR_EDGES (dag_utils.py:584 / grape_instance.cc:730). */
+  def clearEdges: SimpleGraph =
+    copy(edges = edges.limit(0), simpleEdges = true)
+
+  /** CLEAR_GRAPH (dag_utils.py:562 / grape_instance.cc:704). */
+  def clearGraph: SimpleGraph =
+    copy(vertices = vertices.limit(0), edges = edges.limit(0),
+      simpleEdges = true)
+
+  /** UNLOAD_GRAPH (dag_utils.py:651 / grape_instance.cc:119): release
+    * every cached/materialized view this graph instance holds. */
+  def unload(): Unit = {
+    prepCache.synchronized {
+      prepCache.values.foreach(_.unpersist())
+      prepCache.clear()
+    }
+    blockCache.synchronized {
+      blockCache.values.foreach(_.unpersist())
+      blockCache.clear()
+    }
+    vertices.unpersist()
+    edges.unpersist()
+  }
+
   /** INDUCE_SUBGRAPH by vertex list (dag_utils.py:606 /
     * grape_instance.cc:659): keep edges with both endpoints in `keep`. */
   def induceSubgraph(keep: DataFrame): SimpleGraph = {

@@ -74,6 +74,19 @@ class PregelSpec extends SparkSpec {
     assertAllClose(got, want, 1e-12, "gatherSum")
   }
 
+  test("WCC via forced CSR gather tier == default tier") {
+    import graft.apps.WCC
+    val und = g.toUndirected
+    val want = WCC.run(und).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sys.props("graft.force.csr") = "true"
+    try {
+      val got = WCC.run(und).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, "csr wcc differs")
+    } finally sys.props.remove("graft.force.csr")
+  }
+
   test("PageRank via forced CSR gather tier == default tier") {
     import graft.apps.PageRank
     val want = PageRank.run(g, 0.85, 10).collect()

@@ -73,6 +73,30 @@ class SourcesAndModifySpec extends SparkSpec {
     assert(!g2.hasEdge(("person", "knows", "person"), 2L, 3L))
   }
 
+  test("lifecycle: TO_DIRECTED / CLEAR_EDGES / CLEAR_GRAPH / UNLOAD") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val g = graft.graph.SimpleGraph(
+      Seq(1L, 2L, 3L).toDF("vid"), e, directed = false,
+      simpleEdges = true)
+    val d = g.toDirected
+    assert(d.directed && d.numEdges == 4)
+    assert(g.clearEdges.numEdges == 0 && g.clearEdges.numVertices == 3)
+    assert(g.clearGraph.numVertices == 0)
+    g.unload() // must not throw; caches released
+  }
+
+  test("REPORT *_BY_LOC: stable resumable pages") {
+    val g = pg
+    val p1 = g.nodesByLoc("person", after = -1L, limit = 2)
+      .map(_.getLong(0)).toSeq
+    val p2 = g.nodesByLoc("person", after = p1.last, limit = 2)
+      .map(_.getLong(0)).toSeq
+    assert(p1 == Seq(1L, 2L) && p2 == Seq(3L))
+    val d = g.degByLoc(("person", "knows", "person"), -1L, 10).toSeq
+    assert(d == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
   test("MODIFY: update vertices upserts delta columns, keeps the rest") {
     import spark.implicits._
     val g2 = pg.updateVertices("person",

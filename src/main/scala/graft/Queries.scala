@@ -324,6 +324,17 @@ object Queries {
         && col("c_nationkey").isin(1, 3, 5, 7, 9, 11))
       .select("c_custkey", "c_name", "c_nationkey")
 
+  /** BRANCH_OPTION / JOIN_CASE_WHEN (query_flow.proto ops 77/82): per-row
+    * branch into labeled cases, then aggregate per branch. */
+  def iCaseWhen(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(when(col("o_orderpriority") === "1-URGENT", lit("hot"))
+        .when(col("o_totalprice") > 200000.0, lit("big"))
+        .otherwise(lit("norm")).as("branch"), col("o_totalprice"))
+      .groupBy("branch")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 4).as("total"))
+
   /** PATH history + SIMPLE_PATH (unarystep/filter.rs:362, PATH_OUT op 29):
     * 2-hop traversal from the min vertex carrying the path as a
     * collect-style struct column, simple-path filtered (no revisits),

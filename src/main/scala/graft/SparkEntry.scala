@@ -63,6 +63,7 @@ object SparkEntry {
     "i_sample" -> (Queries.iSample(_, _)),
     "i_estimate_count" -> (Queries.iEstimateCount(_, _)),
     "i_predicates" -> (Queries.iPredicates(_, _)),
+    "i_case_when" -> (Queries.iCaseWhen(_, _)),
     "i_simple_path" -> (Queries.iSimplePath(_, _)),
     // Pregel UDF surface (§2.6)
     "g_pregel_pagerank" -> (Queries.pregelPagerank(_, _)),
@@ -131,6 +132,7 @@ object SparkEntry {
     "i_sample" -> OracleSql.iSample,
     "i_estimate_count" -> OracleSql.iEstimateCount,
     "i_predicates" -> OracleSql.iPredicates,
+    "i_case_when" -> OracleSql.iCaseWhen,
     "i_simple_path" -> OracleSql.iSimplePath,
     "e_cos_neardup" -> OracleSql.eCosNearDup,
     "d_exact_dedup" -> OracleSql.dExactDedup,

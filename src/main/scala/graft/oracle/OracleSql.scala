@@ -684,6 +684,16 @@ object OracleSql {
       |  AND c_nationkey IN (1, 3, 5, 7, 9, 11)
       |""".stripMargin
 
+  /** Branch/case-when replay (same branch labels, per-branch aggregate). */
+  val iCaseWhen: String =
+    """SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'hot'
+      |            WHEN o_totalprice > 200000.0 THEN 'big'
+      |            ELSE 'norm' END AS branch,
+      |       COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 4) AS total
+      |FROM orders
+      |GROUP BY 1
+      |""".stripMargin
+
   /** 2-hop simple paths from the min vertex of the co-purchase graph. */
   val iSimplePath: String =
     s"""WITH $graphCtes

@@ -153,6 +153,16 @@ object Queries {
         col("dst").cast("long").as("dst"), col("has_path"))
   }
 
+  /** sssp_average_length, sampled over the 3 smallest vids (see
+    * SSSP.averageLength; rounding at 6 decimals — a cross-row float sum). */
+  def ssspAvgLength(spark: SparkSession, dir: String): DataFrame = {
+    val g = CoPurchase.weighted(CoPurchase.graph(spark, dir))
+    val srcs = g.vertices.orderBy(col("vid")).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    SSSP.averageLength(g, srcs)
+      .select(round(col("avg_length"), 6).as("avg_length"))
+  }
+
   def bfsParents(spark: SparkSession, dir: String): DataFrame = {
     val g = CoPurchase.graph(spark, dir)
     BFS.runWithParents(g, minVid(g))
@@ -443,6 +453,15 @@ object Queries {
       threshold = 0.95)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
+
+  /** Video frame sampling — deterministic row multiplication, so unlike
+    * the other m_* entries this one has a DuckDB oracle. */
+  def mFrameSample(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.frameSample(
+      graft.multimodal.Multimodal.mediaFromDocuments(spark, dir))
+      .select(col("media_id").cast("long").as("media_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        col("t_ms").cast("long").as("t_ms"))
 
   def mMediaFeatures(spark: SparkSession, dir: String): DataFrame =
     graft.multimodal.Multimodal.extractFeatures(

@@ -44,6 +44,7 @@ object SparkEntry {
     "g_louvain" -> (Queries.louvain(_, _)),
     "g_sssp_path" -> (Queries.ssspPath(_, _)),
     "g_sssp_has_path" -> (Queries.ssspHasPath(_, _)),
+    "g_sssp_avg_length" -> (Queries.ssspAvgLength(_, _)),
     "g_bfs_parents" -> (Queries.bfsParents(_, _)),
     "g_lpa_u2i" -> (Queries.lpaU2I(_, _)),
     "g_sampling_path" -> (Queries.samplingPath(_, _)),
@@ -82,6 +83,7 @@ object SparkEntry {
     "e_cos_neardup" -> (Queries.eCosNearDup(_, _)),
     // Multimodal binary-column plumbing (stubbed decode)
     "m_media_features" -> (Queries.mMediaFeatures(_, _)),
+    "m_frame_sample" -> (Queries.mFrameSample(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -113,6 +115,7 @@ object SparkEntry {
     "g_avg_clustering" -> OracleSql.avgClustering,
     "g_sssp_path" -> OracleSql.ssspPath(),
     "g_sssp_has_path" -> OracleSql.ssspHasPath(),
+    "g_sssp_avg_length" -> OracleSql.ssspAverageLength(),
     "g_bfs_parents" -> OracleSql.bfsParents(),
     "g_lpa_u2i" -> OracleSql.lpaU2I(),
     "g_sampling_path" -> OracleSql.samplingPath,
@@ -139,5 +142,6 @@ object SparkEntry {
     "d_token_count" -> OracleSql.dTokenCount,
     "d_quality" -> OracleSql.dQuality,
     "d_langid" -> OracleSql.dLangId,
+    "m_frame_sample" -> OracleSql.mFrameSample,
   )
 }

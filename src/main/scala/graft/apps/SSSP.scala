@@ -92,6 +92,81 @@ object SSSP {
         .otherwise(coalesce(col("parent"), lit(-1L))).as("parent"))
   }
 
+  /** Multi-source shortest distances: one frontier-relaxation fixpoint
+    * over the COMPOSITE state (vid, source) — the distributed form of
+    * running |sources| Dijkstras at once (reference sssp_average_length.h
+    * PEval loops sources serially per fragment; here every (vertex,
+    * source) pair relaxes in the same superstep, so the round count stays
+    * one graph diameter regardless of |sources|).
+    *
+    * @return (vid, source, dist) with dist = -1.0 when unreachable. */
+  def multiSource(
+      g: SimpleGraph,
+      sources: Seq[Long],
+      maxRounds: Int = 10000,
+      numPartitions: Int = 0): DataFrame = {
+    require(g.hasWeight, "multiSource needs a weight column")
+    val spark = g.spark
+    val p = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val bcast = Strategy.smallEnoughToBroadcast(
+      g.numVertices * sources.size)
+    val edges = g.preparedEdges("dirw",
+      g.edges.select("src", "dst", "weight"),
+      if (bcast) "dst" else "src", p)
+
+    val inf = Double.MaxValue
+    val init = g.vertices
+      .crossJoin(broadcast(
+        spark.createDataFrame(sources.map(Tuple1(_)))
+          .toDF("source")))
+      .select(col("vid"), col("source"),
+        when(col("vid") === col("source"), lit(0.0)).otherwise(lit(inf))
+          .as("dist"),
+        when(col("vid") === col("source"), lit(1)).otherwise(lit(0))
+          .as("_changed"))
+      .repartition(p, col("vid"))
+
+    val res = Iterate.run(
+      init, maxRounds,
+      step = (state, _) => {
+        val frontier = state.where(col("_changed") === 1)
+          .select(col("vid").as("src"), col("source"), col("dist"))
+        val relax = edges.join(Strategy.state(frontier, bcast), "src")
+          .groupBy(col("dst").as("vid"), col("source"))
+          .agg(min(col("dist") + col("weight")).as("nd"))
+        state.join(relax, Seq("vid", "source"), "left").select(
+          col("vid"), col("source"),
+          least(col("dist"), coalesce(col("nd"), col("dist"))).as("dist"),
+          when(coalesce(col("nd"), col("dist")) < col("dist"), lit(1))
+            .otherwise(lit(0)).as("_changed"))
+      },
+      stopWhenUnchanged = true)
+
+    res.state.select(col("vid"), col("source"),
+      when(col("dist") === inf, lit(-1.0)).otherwise(col("dist"))
+        .as("dist"))
+  }
+
+  /** sssp_average_length (reference: apps/sssp/sssp_average_length.h —
+    * mean of all ordered-pair shortest-path lengths, sum / (n*(n-1)),
+    * connected graph assumed; flagged "time consuming" by the reference's
+    * own tests). Exact when `sources` = the full vertex set; at 100 TB
+    * the sampled form (a handful of sources) is the estimator that scales
+    * — unreachable pairs are excluded from the numerator either way.
+    *
+    * @return single row (avg_length). */
+  def averageLength(
+      g: SimpleGraph,
+      sources: Seq[Long],
+      maxRounds: Int = 10000): DataFrame = {
+    val n = g.numVertices.toDouble
+    multiSource(g, sources, maxRounds)
+      .where(col("dist") >= 0 && col("vid") =!= col("source"))
+      .agg((sum(col("dist")) / lit(sources.size * (n - 1.0)))
+        .as("avg_length"))
+  }
+
   /** sssp_has_path: boolean reachability source -> target (reference:
     * apps/sssp/sssp_has_path.h). One BFS + a point lookup. */
   def hasPath(g: SimpleGraph, source: Long, target: Long): DataFrame = {

@@ -145,6 +145,36 @@ final case class PropertyGraph(
   // `limit` at a time — the same contract (stable, resumable chunks)
   // without depending on physical placement.
 
+  /** GRAPH_TO_DATAFRAME / GRAPH_TO_NUMPY (dag_utils.py:810,837 /
+    * grape_instance.cc:801,819): export graph data by selector —
+    * `v.id` / `v.<prop>` over a vertex label, `e.src` / `e.dst` /
+    * `e.<prop>` over an edge label (selector grammar
+    * core/context/selector.h:49-106). */
+  def graphToDataFrame(label: String,
+      selectors: Map[String, String]): DataFrame = {
+    val base = vertexLabels(label)
+    base.select(selectors.toSeq.sortBy(_._1).map {
+      case (out, "v.id") => col("vid").as(out)
+      case (out, s) if s.startsWith("v.") =>
+        col(s.stripPrefix("v.")).as(out)
+      case (_, s) =>
+        throw new IllegalArgumentException(s"unknown vertex selector: $s")
+    }: _*)
+  }
+
+  def graphToDataFrame(key: (String, String, String),
+      selectors: Map[String, String]): DataFrame = {
+    val base = edgeLabels(key)
+    base.select(selectors.toSeq.sortBy(_._1).map {
+      case (out, "e.src") => col("src").as(out)
+      case (out, "e.dst") => col("dst").as(out)
+      case (out, s) if s.startsWith("e.") =>
+        col(s.stripPrefix("e.")).as(out)
+      case (_, s) =>
+        throw new IllegalArgumentException(s"unknown edge selector: $s")
+    }: _*)
+  }
+
   /** NODES_BY_LOC: one page of vertices (vid order, vid > after). */
   def nodesByLoc(label: String, after: Long, limit: Int)
       : Array[org.apache.spark.sql.Row] =

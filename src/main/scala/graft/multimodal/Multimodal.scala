@@ -60,6 +60,33 @@ object Multimodal {
     media.repartition(p).mapPartitions(StubDecoder.decodeBatch)
   }
 
+  /** Frame sampling for video rows: one output row per `intervalMs` of
+    * duration (n_frames = max(1, floor(duration/interval)) — the same
+    * count StubDecoder reports as frames_sampled). The payload decode is
+    * what a codec would add; the row-multiplication plumbing (explode of a
+    * sequence — codegen'd, no UDF) is the part that matters at 100 TB:
+    * frame rows shuffle/partition like any table. */
+  def frameSample(media: Dataset[MediaRow], intervalMs: Long = 1000L)
+      : DataFrame =
+    media.toDF().where(col("kind") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0L),
+          greatest(lit(1L),
+            floor(col("duration_ms") / intervalMs).cast("long")) - 1L))
+          .as("frame_idx"))
+      .select(col("media_id"), col("frame_idx"),
+        (col("frame_idx") * intervalMs).as("t_ms"))
+
+  /** === STUB === resize: a real implementation decodes, resamples and
+    * re-encodes the payload; the stub rewrites the typed metadata and
+    * keeps the payload opaque. Batch-shaped like decodeBatch. */
+  def resizeStub(media: Dataset[MediaRow], w: Int, h: Int)
+      : Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(r => r.copy(width = w, height = h)))
+  }
+
   /** Build a synthetic media table from the documents table (payload =
     * utf-8 bytes of the text) — exercises binary-column plumbing
     * deterministically without codec deps. */
@@ -73,7 +100,10 @@ object Multimodal {
       encode(col("text"), "utf-8").as("payload"),
       (pmod(col("doc_id"), lit(64)) + 16).cast("int").as("width"),
       (pmod(col("doc_id"), lit(48)) + 16).cast("int").as("height"),
-      (pmod(col("doc_id"), lit(10000)) + 1000).as("duration_ms"))
+      // 1500..10500 ms -> 1..10 sampled frames at EVERY sf (a pure
+      // doc_id % 10000 duration gives sub-2s videos at small scales and
+      // the frame-sampling row multiplication degenerates to 1 row each)
+      (pmod(col("doc_id"), lit(10)) * 1000L + 1500L).as("duration_ms"))
       .as[MediaRow]
   }
 }

@@ -568,6 +568,48 @@ object OracleSql {
       |""".stripMargin
   }
 
+  /** sssp_average_length, sampled form (reference:
+    * apps/sssp/sssp_average_length.h, sum / (n*(n-1)) over ordered pairs;
+    * here the k smallest vids as sources, denominator k*(n-1), unreachable
+    * pairs excluded — mirrors graft.apps.SSSP.averageLength). The unroll
+    * is one Bellman-Ford chain over the COMPOSITE (vid, source) state. */
+  def ssspAverageLength(k: Int = 3, rounds: Int = 30): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $graphCtes,\n"
+    sb ++=
+      s"""w AS (SELECT src, dst,
+        |        1.0 + CAST((src + dst) % 7 AS DOUBLE) AS weight FROM edges),
+        |srcs AS (SELECT vid AS source FROM verts ORDER BY vid LIMIT $k),
+        |m0 AS (SELECT v.vid, s.source,
+        |        CASE WHEN v.vid = s.source THEN 0.0 ELSE NULL END AS dist
+        |       FROM verts v CROSS JOIN srcs s)
+        |""".stripMargin
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb ++= s""",
+        |m$i AS (SELECT t.vid, t.source,
+        |         CASE WHEN t.dist IS NULL THEN x.md
+        |              WHEN x.md IS NULL THEN t.dist
+        |              WHEN x.md < t.dist THEN x.md ELSE t.dist END AS dist
+        |        FROM m$p t LEFT JOIN (
+        |          SELECT e.dst AS vid, l.source,
+        |                 MIN(l.dist + e.weight) AS md
+        |          FROM w e JOIN m$p l ON e.src = l.vid
+        |          WHERE l.dist IS NOT NULL
+        |          GROUP BY e.dst, l.source) x
+        |          ON t.vid = x.vid AND t.source = x.source)
+        |""".stripMargin
+    }
+    sb ++= s""",
+      |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)
+      |SELECT ROUND(SUM(dist) / ($k * ((SELECT n FROM nn) - 1.0)), 6)
+      |         AS avg_length
+      |FROM m$rounds
+      |WHERE dist IS NOT NULL AND vid <> source
+      |""".stripMargin
+    sb.toString
+  }
+
   /** sssp_has_path: reachability min-vid -> max-vid via the BFS unroll
     * (reference: apps/sssp/sssp_has_path.h). */
   def ssspHasPath(rounds: Int = 15): String = {
@@ -729,6 +771,27 @@ object OracleSql {
   /** fold -> unfold roundtrip == identity on the folded columns. */
   val iFoldUnfold: String =
     "SELECT o_custkey, o_orderkey FROM orders\n"
+
+  /** Frame-sampling replay (see Multimodal.frameSample +
+    * mediaFromDocuments: kind = video when doc_id % 3 = 2, duration =
+    * (doc_id % 10) * 1000 + 1500 ms, frames = max(1, floor(duration/1000))).
+    * Portable row multiplication: join a ROW_NUMBER-derived numbers table
+    * {0..31} (neither engine has the other's sequence/generate_series).
+    * FLOOR before CAST — DuckDB's CAST(double AS BIGINT) rounds while
+    * Spark truncates. */
+  val mFrameSample: String =
+    """WITH nums AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS i
+      |  FROM documents LIMIT 32),
+      |vids AS (
+      |  SELECT doc_id AS media_id,
+      |         (doc_id % 10) * 1000 + 1500 AS duration_ms
+      |  FROM documents WHERE doc_id % 3 = 2)
+      |SELECT CAST(v.media_id AS BIGINT) AS media_id,
+      |       n.i AS frame_idx, n.i * 1000 AS t_ms
+      |FROM vids v JOIN nums n
+      |  ON n.i < GREATEST(1, CAST(FLOOR(v.duration_ms / 1000.0) AS BIGINT))
+      |""".stripMargin
 
   // ---- Training-data / documents oracles ----
 

@@ -49,7 +49,7 @@ class OracleConsistencySpec extends SparkSpec {
     "i_sample", "i_estimate_count", "i_predicates", "i_simple_path",
     "i_case_when",
     "d_exact_dedup", "d_token_count", "d_quality", "d_langid",
-    "e_cos_neardup")
+    "e_cos_neardup", "m_frame_sample")
 
   for (name <- nonIterative) {
     test(s"$name: Spark impl == oracle SQL (full)") {
@@ -120,6 +120,15 @@ class OracleConsistencySpec extends SparkSpec {
               .as("has_path"))
       },
       OracleSql.ssspHasPath(3)),
+    ("g_sssp_avg_length", 3,
+      () => {
+        val wg = CoPurchase.weighted(g)
+        val srcs = wg.vertices.orderBy(col("vid")).limit(3)
+          .collect().map(_.getLong(0)).toSeq
+        SSSP.averageLength(wg, srcs, maxRounds = 3)
+          .select(round(col("avg_length"), 6).as("avg_length"))
+      },
+      OracleSql.ssspAverageLength(3, 3)),
     ("g_kshell", 2,
       () => KShell.coreNumbers(g, maxRounds = 2)
         .select(vl("vid").as("vid"),

@@ -86,6 +86,22 @@ class SourcesAndModifySpec extends SparkSpec {
     g.unload() // must not throw; caches released
   }
 
+  test("GRAPH_TO_DATAFRAME selectors export vertex + edge data") {
+    val g = pg
+    val v = g.graphToDataFrame("person",
+      Map("id" -> "v.id", "who" -> "v.name"))
+    assert(v.columns.toSeq == Seq("id", "who"))
+    assert(v.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    val e = g.graphToDataFrame(("person", "knows", "person"),
+      Map("a" -> "e.src", "b" -> "e.dst"))
+    assert(e.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L), (2L, 3L), (3L, 1L)))
+    intercept[IllegalArgumentException] {
+      g.graphToDataFrame("person", Map("x" -> "r.bogus"))
+    }
+  }
+
   test("REPORT *_BY_LOC: stable resumable pages") {
     val g = pg
     val p1 = g.nodesByLoc("person", after = -1L, limit = 2)

@@ -50,6 +50,27 @@ class TinyGraphSpec extends SparkSpec {
     assert(total > 0.0 && total <= 1.0 + 1e-9)
   }
 
+  test("sssp_average_length exact mode (sources = ALL vertices) matches " +
+      "the all-pairs Dijkstra oracle; sampled mode matches per-source") {
+    // weighted undirected graph, deterministic weights as in CoPurchase
+    val wEdges = undEdges.map { case (a, b) =>
+      (a, b, 1.0 + ((a + b) % 7).toDouble) }
+    import spark.implicits._
+    val wg = SimpleGraph(verts.toDF("vid"),
+      wEdges.toDF("src", "dst", "weight"), directed = false)
+    val n = verts.size.toDouble
+    // in-JVM: sum over ordered reachable pairs / (n*(n-1))
+    val dists = verts.map(s => TestOracles.sssp(verts, wEdges, s))
+    val want = dists.flatMap(_.values).filter(d => d > 0).sum / (n * (n - 1))
+    val got = SSSP.averageLength(wg, verts).head().getDouble(0)
+    assert(math.abs(got - want) < 1e-9, s"exact avg $got vs $want")
+    // sampled mode with a single source == that source's mean distance
+    val want1 = TestOracles.sssp(verts, wEdges, 1L).values
+      .filter(_ > 0).sum / (n - 1)
+    val got1 = SSSP.averageLength(wg, Seq(1L)).head().getDouble(0)
+    assert(math.abs(got1 - want1) < 1e-9, s"sampled avg $got1 vs $want1")
+  }
+
   test("wcc matches union-find oracle exactly") {
     val got = asMapL(WCC.run(gDir))
     val want = TestOracles.wcc(verts, dirEdges)

@@ -13,15 +13,28 @@ import org.apache.spark.sql.functions._
   * python/tests/test_scalability.py:42-56), with edges/sec/iteration
   * throughput at both levels and the scaling efficiency between them.
   *
-  * Budget discipline (round-1 postmortem: the run was timeout-killed with
-  * all output held to the end — rc=124, no numbers landed):
+  * Budget discipline (rounds 1 AND 2 were timeout-killed at rc=124 — the
+  * r2 incremental-emission hardening preserved partial numbers but the
+  * driver records `parsed: null` unless the process EXITS 0 in-window, so
+  * round 3 makes the default path small):
+  *   - DEFAULT: raw per-query timings (single timed pass after JIT warm),
+  *     one scaled-graph write, a 2-level scaling ladder (hi/4 and hi — the
+  *     N vs 4N pair the north rule names). Everything else — 4-level
+  *     ladder, min-of-2 repeats, strategy-tier comparison, compute-bound
+  *     MinHash probe — runs only under SPARK_GRAFT_BENCH_FULL=1;
+  *   - a wall-clock budget (SPARK_GRAFT_BENCH_BUDGET seconds, default 420)
+  *     is checked before each section; once 60% is spent, optional
+  *     sections are skipped and the ladder degrades to whatever levels
+  *     completed;
   *   - a full, valid JSON line is re-printed after EVERY completed section,
-  *     so a timeout keeps everything measured so far (the last stdout line
-  *     is always the most complete snapshot);
-  *   - the scaled graph is derived ONCE and written to parquet; the lo and
-  *     hi sessions read the identical file (same bytes, no double build);
+  *     so even a kill keeps everything measured so far (the last stdout
+  *     line is always the most complete snapshot);
+  *   - the scaled graph is derived ONCE and written to parquet; all
+  *     parallelism levels read the identical file (same bytes);
   *   - every section runs under try/catch — one failure cannot zero the
   *     rest;
+  *   - rpc/network timeouts are raised (r2 tail showed a 10s RpcTimeout
+  *     under full 32-thread load);
   *   - all numbers are formatted with Locale.ROOT (a comma-decimal default
   *     locale must not break the JSON contract).
   *
@@ -70,6 +83,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.rpc.askTimeout", "120s")
+      .config("spark.network.timeout", "240s")
       // AQE re-plans cached relations and drops their partitioning,
       // reinstating a per-superstep exchange (see SimpleGraph
       // .preparedEdges); the iterative plans are fixed-shape anyway.
@@ -92,7 +107,7 @@ object Bench {
     * V-proportional serial costs (state broadcast, checkpoint) do not —
     * exactly the E >> V regime of the 10^12-file link graph. Deterministic
     * (xxhash64). Canonicalized + deduplicated so the SimpleGraph
-    * `simpleEdges` contract holds. Written to parquet once; both
+    * `simpleEdges` contract holds. Written to parquet once; all
     * parallelism levels read the identical file. */
   private def writeScaledEdges(spark: SparkSession, dir: String,
       copies: Int, path: String): Unit = {
@@ -123,30 +138,29 @@ object Bench {
   }
 
   /** (pagerank seconds, wcc seconds, wcc rounds, checksum) on a prepared
-    * graph, after a short JIT warm-up. The PR part of the checksum is
-    * quantized to 1e-6 — the raw double sum differs in final ULPs across
-    * partition counts (aggregation order), which is not a result
-    * difference at the 1e-6 comparison tolerance. */
-  private def headline(g: SimpleGraph): (Double, Double, Int, Double) = {
+    * graph, after a short JIT warm-up. With repeats=2, each timing is the
+    * min of two passes — the sandbox hypervisor steals CPU in bursts
+    * (observed 2-4x swings on identical code) and the minimum is the
+    * robust estimator; the default single pass keeps the driver window.
+    * The PR part of the checksum is quantized to 1e-6 — the raw double sum
+    * differs in final ULPs across partition counts (aggregation order),
+    * which is not a result difference at the 1e-6 comparison tolerance. */
+  private def headline(g: SimpleGraph, repeats: Int)
+      : (Double, Double, Int, Double) = {
     PageRank.run(g, 0.85, 2).count() // builds shared caches + JIT warmth
-    // PR timed twice, min taken: the sandbox hypervisor steals CPU in
-    // bursts (observed 2-4x swings on identical code), and the minimum is
-    // the only robust estimator of the plan's actual cost.
-    val (prChk, prT1) = time {
+    def prOnce = time {
       PageRank.run(g, 0.85, 10)
         .agg(round(sum(col("rank")) * 1e6, 0)).head().getDouble(0)
     }
-    val (_, prT2) = time {
-      PageRank.run(g, 0.85, 10)
-        .agg(round(sum(col("rank")) * 1e6, 0)).head().getDouble(0)
-    }
-    val prT = math.min(prT1, prT2)
+    val (prChk, prT1) = prOnce
+    val prT = if (repeats > 1) math.min(prT1, prOnce._2) else prT1
     val ((wccDf, wccRounds), wccT1) = time {
       val r = WCC.runWithRounds(g)
       (r._1.localCheckpoint(true), r._2)
     }
-    val (_, wccT2) = time { WCC.runWithRounds(g)._1.count() }
-    val wccT = math.min(wccT1, wccT2)
+    val wccT = if (repeats > 1)
+      math.min(wccT1, time(WCC.runWithRounds(g)._1.count())._2)
+    else wccT1
     val chk = prChk + wccDf.agg(sum(col("comp"))).head().getLong(0)
     (prT, wccT, wccRounds, chk)
   }
@@ -176,14 +190,20 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val hi = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val lo = math.max(1, hi / 4)
+    val full = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "420").toDouble
+    def budgetLeft(frac: Double): Boolean = elapsed < frac * budgetSec
+    val repeats = if (full) 2 else 1
     // Measured at sf0.1: copies=16 (38M directed edges) leaves each round
     // overhead-bound — scaling efficiency 0.39; copies=64 (~150M) puts
-    // >1s of compute in every round, the regime the north rule targets.
-    // r1's timeout came from building the graph TWICE at 96 copies plus a
-    // single-partition 6e9-eval probe, both fixed here — not from size.
+    // >1s of compute in every round, the E>>V regime the north rule
+    // targets (r2 measured 0.877 efficiency for the 8->32 pair there).
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "64").toInt
     val scaledPath = new java.io.File(
       s"target/bench-scaled-c$copies").getAbsolutePath
@@ -201,7 +221,8 @@ object Bench {
         .toString
     }
     safe("headline_raw") {
-      val (prRawT, wccRawT, _, _) = headline(CoPurchase.graph(spark, sfDir))
+      val (prRawT, wccRawT, _, _) =
+        headline(CoPurchase.graph(spark, sfDir), repeats)
       queryTimes("g_pagerank") = prRawT
       queryTimes("g_wcc") = wccRawT
       putQueries(); emit()
@@ -223,68 +244,69 @@ object Bench {
       s"target/bench-scaled-c${math.max(1, copies / 4)}").getAbsolutePath
     safe("scaled_write") {
       writeScaledEdges(spark, sfDir, copies, scaledPath)
-      writeScaledEdges(spark, sfDir, math.max(1, copies / 4), tierPath)
+      if (full) writeScaledEdges(spark, sfDir,
+        math.max(1, copies / 4), tierPath)
     }
     spark.stop()
 
-    // --- scaling ladder: identical jobs, same scaled input file, at
-    // 4 parallelism levels. Two efficiency pairs are reported:
-    //   * hi/8 -> hi/2 (4 -> 16 cores): both levels leave the 32-core
-    //     box headroom, so neither saturates its shared memory bandwidth
-    //     — the faithful sandbox analogue of N -> 4N executors, where
-    //     each executor brings its OWN memory bandwidth;
-    //   * hi/4 -> hi (8 -> 32): the full-box pair the task text suggests;
-    //     at 32 threads a single box's bandwidth/GC saturates, which a
-    //     multi-executor cluster does not share.
+    // --- scaling ladder: identical jobs, same scaled input file.
+    // Default levels: (hi/4, hi) — the N -> 4N pair the north rule names.
+    // Full mode adds (hi/8, hi/2): both leave the 32-core box headroom, so
+    // neither saturates shared memory bandwidth — the faithful sandbox
+    // analogue of N -> 4N executors, where each executor brings its OWN
+    // bandwidth.
     var nEdges = 0L
     var cpLoT, cpHiT = -1.0
-    val levels = Seq(math.max(1, hi / 8), math.max(1, hi / 4),
-      math.max(1, hi / 2), hi).distinct
+    val levels =
+      (if (full) Seq(math.max(1, hi / 8), lo, math.max(1, hi / 2), hi)
+       else Seq(lo, hi)).distinct
     val ladder =
       scala.collection.mutable.LinkedHashMap[Int, (Double, Double, Int,
         Double)]()
     for (cpus <- levels) {
-      spark = session(cpus)
-      safe(s"scaling_$cpus") {
-        val g = readScaledGraph(spark, scaledPath)
-        nEdges = g.edges.count()
-        ladder(cpus) = headline(g)
-        g.unload() // free the big cache before the tier/probe sections
-        val entries = ladder.map { case (c, (prT, wccT, wccIters, _)) =>
-          val eps = nEdges.toDouble * (10 + wccIters) / (prT + wccT)
-          s""""c$c":{"pr_sec":${fmt(prT, 2)},"wcc_sec":${fmt(wccT, 2)},""" +
-            s""""eps":${eps.round}}"""
-        }.mkString(",")
-        def eff(a: Int, b: Int): Option[String] =
-          for ((pa, wa, ia, _) <- ladder.get(a);
-               (pb, wb, ib, _) <- ladder.get(b)) yield {
-            val ea = nEdges.toDouble * (10 + ia) / (pa + wa)
-            val eb = nEdges.toDouble * (10 + ib) / (pb + wb)
-            fmt((eb / ea) / (b.toDouble / a))
-          }
-        val effs = Seq(
-          eff(levels(0), levels(2)).map(v =>
-            s""""efficiency_${levels(0)}_${levels(2)}":$v"""),
-          eff(levels(1), levels(3)).map(v =>
-            s""""efficiency_${levels(1)}_${levels(3)}":$v""")).flatten
-        val resultsMatch = ladder.values.map(r => (r._4, r._3)).toSet
-          .size == 1
-        fields("scaling") =
-          (s"""{"edges":$nEdges,"iters":${10 + ladder(cpus)._3},""" +
-            s""""levels":{$entries},""" +
-            (if (effs.nonEmpty) effs.mkString("", ",", ",") else "") +
-            s""""results_match":$resultsMatch}""")
-        emit()
+      if (cpus == hi || budgetLeft(0.8)) {
+        spark = session(cpus)
+        safe(s"scaling_$cpus") {
+          val g = readScaledGraph(spark, scaledPath)
+          nEdges = g.edges.count()
+          ladder(cpus) = headline(g, repeats)
+          g.unload() // free the big cache before the optional sections
+          val entries = ladder.map { case (c, (prT, wccT, wccIters, _)) =>
+            val eps = nEdges.toDouble * (10 + wccIters) / (prT + wccT)
+            s""""c$c":{"pr_sec":${fmt(prT, 2)},"wcc_sec":${fmt(wccT, 2)},""" +
+              s""""eps":${eps.round}}"""
+          }.mkString(",")
+          def eff(a: Int, b: Int): Option[String] =
+            for ((pa, wa, ia, _) <- ladder.get(a);
+                 (pb, wb, ib, _) <- ladder.get(b)) yield {
+              val ea = nEdges.toDouble * (10 + ia) / (pa + wa)
+              val eb = nEdges.toDouble * (10 + ib) / (pb + wb)
+              fmt((eb / ea) / (b.toDouble / a))
+            }
+          // Every completed 4x pair (guarded — r2 hardcoded levels(3) and
+          // a small-cpu run would throw before any output landed).
+          val effs = levels.flatMap(a => levels.filter(_ == a * 4).flatMap(
+            b => eff(a, b).map(v => s""""efficiency_${a}_${b}":$v""")))
+          val resultsMatch = ladder.values.map(r => (r._4, r._3)).toSet
+            .size == 1
+          fields("scaling") =
+            (s"""{"edges":$nEdges,"iters":${10 + ladder(cpus)._3},""" +
+              s""""levels":{$entries},""" +
+              (if (effs.nonEmpty) effs.mkString("", ",", ",") else "") +
+              s""""results_match":$resultsMatch}""")
+          emit()
+        }
+        if (full && cpus == lo && budgetLeft(0.6)) safe("probe_lo") {
+          computeProbe(spark, sfDir, 2) // JIT warm-up for the probe
+          cpLoT = math.min(computeProbe(spark, sfDir, 4),
+            computeProbe(spark, sfDir, 4))
+        }
+        if (cpus != hi) spark.stop()
+        // Level isolation: leftover garbage from the previous level's
+        // cached graph otherwise lands as GC pauses inside the next
+        // level's timing.
+        System.gc()
       }
-      if (cpus == lo) safe("probe_lo") {
-        computeProbe(spark, sfDir, 2) // JIT warm-up for the probe
-        cpLoT = math.min(computeProbe(spark, sfDir, 4),
-          computeProbe(spark, sfDir, 4))
-      }
-      if (cpus != hi) spark.stop()
-      // Level isolation: leftover garbage from the previous level's cached
-      // graph otherwise lands as GC pauses inside the next level's timing.
-      System.gc()
     }
     // Strategy-tier comparison (Strategy.Broadcast / Shuffle / CsrGather)
     // on one quarter-size scaled graph: the same 3 PageRank rounds under
@@ -294,7 +316,7 @@ object Bench {
     // avoids touching/sorting the edge relation per round (measured ~3x
     // over the shuffle join at 148M edges) at the price of a one-time
     // block build, which is what survives at 10^9+ vertices.
-    safe("scaling_tiers") {
+    if (full && budgetLeft(0.7)) safe("scaling_tiers") {
       val results = Seq(
         "broadcast" -> None,
         "shuffle" -> Some("graft.force.shuffle"),
@@ -320,7 +342,7 @@ object Bench {
       fields("scaling_tiers") = results.mkString("{", ",", "}")
       emit()
     }
-    safe("probe_hi") {
+    if (full && cpLoT > 0 && budgetLeft(0.85)) safe("probe_hi") {
       computeProbe(spark, sfDir, 2)
       cpHiT = math.min(computeProbe(spark, sfDir, 4),
         computeProbe(spark, sfDir, 4))
@@ -333,5 +355,7 @@ object Bench {
     }
     spark.stop()
     putQueries(); emit()
+    System.err.println(f"[bench] done in ${elapsed}%.1fs")
+    sys.exit(0)
   }
 }

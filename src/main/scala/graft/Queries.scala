@@ -18,13 +18,32 @@ object Queries {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** Per-vertex triangle counts, memoized per (session, dir) — shared by
-    * g_triangles, g_clustering and g_transitivity. */
+    * g_triangles, g_clustering and g_transitivity. Stopped-session entries
+    * are evicted on access (bounded memoization, same as CoPurchase). */
   private val triCache =
     scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
   private def triangleCounts(spark: SparkSession, dir: String): DataFrame =
     triCache.synchronized {
+      triCache.filterInPlace { case ((s, _), _) =>
+        !s.sparkContext.isStopped }
       triCache.getOrElseUpdate((spark, dir),
         Triangles.run(CoPurchase.graph(spark, dir)))
+    }
+
+  /** Louvain assignment, memoized per (session, dir) — shared by g_louvain
+    * and g_louvain_check (the self-check must not pay a second run). */
+  private val louvainCache =
+    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+  private def louvainAssign(spark: SparkSession, dir: String): DataFrame =
+    louvainCache.synchronized {
+      louvainCache.filterInPlace { case ((s, _), _) =>
+        !s.sparkContext.isStopped }
+      louvainCache.getOrElseUpdate((spark, dir),
+        // capped levels/rounds for the catalog entries: local moves
+        // saturate in the first rounds on this graph; the driver budget is
+        // shared by ~56 queries (API defaults stay higher for real runs)
+        Louvain.run(CoPurchase.graph(spark, dir), maxLevels = 2,
+          maxRoundsPerLevel = 6).localCheckpoint(true))
     }
 
   // ---------- graph queries (part co-purchase graph) ----------
@@ -127,13 +146,25 @@ object Queries {
       .agg(round(avg(col("coeff")), 6).as("avg_clustering"))
 
   def louvain(spark: SparkSession, dir: String): DataFrame =
-    // capped levels/rounds for the catalog entry: local moves saturate in
-    // the first rounds on this graph; the driver budget is shared by ~45
-    // queries (API defaults stay higher for real runs)
-    Louvain.run(CoPurchase.graph(spark, dir), maxLevels = 3,
-      maxRoundsPerLevel = 10)
+    louvainAssign(spark, dir)
       .select(col("vid").cast("long").as("vid"),
         col("community").cast("long").as("community"))
+
+  /** Driver-visible Louvain self-check (the assignment itself is
+    * label-set-valued and not SQL-replayable): one row ok=1 iff the
+    * modularity of the capped run on the co-purchase graph clears a
+    * floor no degenerate assignment reaches (all-singletons ~-1/n,
+    * one-big-community exactly 0, random labels ~0). The co-purchase
+    * graph is dense and near-random (avg degree >100), so its maximum
+    * modularity is inherently small — measured Q=0.049 at sf0.01 under
+    * the capped run; 0.02 is the midpoint floor. Constant-row oracle
+    * pattern of eCosNearDup. */
+  def louvainCheck(spark: SparkSession, dir: String): DataFrame = {
+    val q = Louvain.modularity(CoPurchase.graph(spark, dir),
+      louvainAssign(spark, dir))
+    spark.range(1).select(
+      when(lit(q) >= 0.02, lit(1L)).otherwise(lit(0L)).as("ok"))
+  }
 
   def ssspPath(spark: SparkSession, dir: String): DataFrame = {
     val g = CoPurchase.weighted(CoPurchase.graph(spark, dir))
@@ -303,10 +334,15 @@ object Queries {
 
   /** SAMPLE (unarystep/sample.rs): deterministic Bernoulli sample via a
     * Knuth multiplicative hash on the key — replayable in ANSI SQL, unlike
-    * rand()-seeded sampling whose draw depends on partitioning. */
+    * rand()-seeded sampling whose draw depends on partitioning. The key is
+    * masked to 31 bits BEFORE the multiply so the product peaks at
+    * (2^31-1)*K ~ 5.7e18 < Long.Max at every scale factor (unmasked,
+    * orderkeys ≳ 3.5e9 would overflow — throwing under Spark's ANSI mode
+    * and silently diverging from DuckDB's HUGEINT promotion otherwise). */
   def iSample(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
-      .where(pmod(col("o_orderkey") * lit(2654435761L), lit(4294967296L))
+      .where(pmod(pmod(col("o_orderkey"), lit(2147483648L))
+        * lit(2654435761L), lit(4294967296L))
         < lit(429496729L))
       .select("o_orderkey", "o_custkey")
 
@@ -401,6 +437,45 @@ object Queries {
       .select(col("vid").cast("long").as("vid"),
         round(col("rank"), 6).as("pr"))
 
+  /** FULL reference PageRank on the generic runner with a SUM aggregator
+    * carrying the dangling mass (the reference's aggregator surface,
+    * pregel_compute_context.h:242-250) — same values as g_pagerank, same
+    * unrolled oracle. */
+  def pregelPagerankAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.pregel.Pregel.pagerankPregelAggregated(
+      CoPurchase.graph(spark, dir))
+      .select(col("vid").cast("long").as("vid"),
+        round(col("rank"), 6).as("pr"))
+
+  /** Pregel-variant SSSP (convergence-gated program on the generic
+    * runner, apps/pregel/sssp_pregel.h) — same graph/weights/source as
+    * g_sssp, so it reuses the same unrolled oracle. */
+  def pregelSssp(spark: SparkSession, dir: String): DataFrame = {
+    val g = CoPurchase.weighted(CoPurchase.graph(spark, dir))
+    graft.pregel.Pregel.ssspPregel(g, minVid(g))
+      .select(col("vid").cast("long").as("vid"), col("dist"))
+  }
+
+  /** Pregel-variant triangle counting (apps/pregel/tc_pregel.h) — array
+    * messages on the generic runner; same per-vertex counts as
+    * g_triangles, so it reuses the same wedge-join oracle. */
+  def pregelTc(spark: SparkSession, dir: String): DataFrame =
+    graft.pregel.Pregel.tcPregel(CoPurchase.graph(spark, dir))
+      .select(col("vid").cast("long").as("vid"),
+        col("triangles").cast("long").as("triangles"))
+
+  /** DFS preorder + parents from the min vertex (apps/dfs/dfs.h —
+    * inherently serial token walk; see graft.apps.DFS). Exempt from the
+    * DuckDB gate: lexicographic DFS preorder is not reasonably
+    * SQL-unrollable; DfsSpec holds the in-JVM recursive oracle. */
+  def dfs(spark: SparkSession, dir: String): DataFrame = {
+    val g = CoPurchase.graph(spark, dir)
+    DFS.run(g, minVid(g))
+      .select(col("vid").cast("long").as("vid"),
+        col("rank").cast("long").as("rank"),
+        col("parent").cast("long").as("parent"))
+  }
+
   def dMinhashPairs(spark: SparkSession, dir: String): DataFrame =
     graft.text.Dedup.minhashPairs(t(spark, dir, "documents"))
       .select(col("id_a"), col("id_b"),
@@ -430,12 +505,24 @@ object Queries {
       .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"),
         col("rank"))
 
-  def eAnnLsh(spark: SparkSession, dir: String): DataFrame =
-    graft.sim.Ann.lshTopK(
-      t(spark, dir, "embeddings").select("vec_id", "embedding"),
-      annQueries(spark, dir), k = 10)
-      .select(col("q_id"), col("vec_id"), round(col("cos"), 6).as("cos"),
-        col("rank"))
+  /** Self-checking LSH recall contract (the buckets are xxhash-determined
+    * on the Spark side only, so the raw top-k rows are not DuckDB-
+    * replayable — the CONTRACT is): the SRP-LSH top-10 must recover ≥40%
+    * of the exact brute-force top-10, averaged over the 10 probe queries
+    * (deterministic — measured 0.78 at sf0.01; AnnSpec holds the raw-rows
+    * oracle). Constant-row oracle pattern of i_estimate_count. */
+  def eAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val q = annQueries(spark, dir)
+    val lsh = graft.sim.Ann.lshTopK(corpus, q, k = 10)
+    val bf = graft.sim.Ann.bruteForceTopK(corpus, q, k = 10)
+    lsh.select("q_id", "vec_id")
+      .join(bf.select("q_id", "vec_id"), Seq("q_id", "vec_id"),
+        "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .select(when(col("hits") >= lit(40L), lit(1L)).otherwise(lit(0L))
+        .as("ok"))
+  }
 
   /** Near-dup pairs over the embeddings UNION planted duplicates (the
     * first 50 vectors scaled by exactly 2.0f — cosine 1.0, and positive

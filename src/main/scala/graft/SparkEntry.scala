@@ -48,6 +48,8 @@ object SparkEntry {
     "g_bfs_parents" -> (Queries.bfsParents(_, _)),
     "g_lpa_u2i" -> (Queries.lpaU2I(_, _)),
     "g_sampling_path" -> (Queries.samplingPath(_, _)),
+    "g_dfs" -> (Queries.dfs(_, _)),
+    "g_louvain_check" -> (Queries.louvainCheck(_, _)),
     // Interactive operator surface (§2.4)
     "i_filter" -> (Queries.iFilter(_, _)),
     "i_out_join" -> (Queries.iOutJoin(_, _)),
@@ -66,8 +68,12 @@ object SparkEntry {
     "i_predicates" -> (Queries.iPredicates(_, _)),
     "i_case_when" -> (Queries.iCaseWhen(_, _)),
     "i_simple_path" -> (Queries.iSimplePath(_, _)),
-    // Pregel UDF surface (§2.6)
+    // Pregel UDF surface (§2.6): fixed-round, convergence-gated, and
+    // array-message programs on the same generic runner
     "g_pregel_pagerank" -> (Queries.pregelPagerank(_, _)),
+    "g_pregel_pagerank_agg" -> (Queries.pregelPagerankAgg(_, _)),
+    "g_pregel_sssp" -> (Queries.pregelSssp(_, _)),
+    "g_pregel_tc" -> (Queries.pregelTc(_, _)),
     // Documents / training-data ops
     "d_exact_dedup" -> (Queries.dExactDedup(_, _)),
     "d_token_count" -> (Queries.dTokenCount(_, _)),
@@ -119,7 +125,13 @@ object SparkEntry {
     "g_bfs_parents" -> OracleSql.bfsParents(),
     "g_lpa_u2i" -> OracleSql.lpaU2I(),
     "g_sampling_path" -> OracleSql.samplingPath,
+    "g_louvain_check" -> OracleSql.louvainCheck,
     "g_pregel_pagerank" -> OracleSql.pregelPagerank(),
+    // aggregator-based full PageRank == the reference recurrence
+    "g_pregel_pagerank_agg" -> OracleSql.pagerank(),
+    // same semantics/graph/source as g_sssp and g_triangles respectively
+    "g_pregel_sssp" -> OracleSql.sssp(),
+    "g_pregel_tc" -> OracleSql.triangles,
     "i_filter" -> OracleSql.iFilter,
     "i_out_join" -> OracleSql.iOutJoin,
     "i_group_count" -> OracleSql.iGroupCount,
@@ -138,6 +150,8 @@ object SparkEntry {
     "i_case_when" -> OracleSql.iCaseWhen,
     "i_simple_path" -> OracleSql.iSimplePath,
     "e_cos_neardup" -> OracleSql.eCosNearDup,
+    "e_ann_topk" -> OracleSql.eAnnTopk,
+    "e_ann_lsh" -> OracleSql.eAnnLshOk,
     "d_exact_dedup" -> OracleSql.dExactDedup,
     "d_token_count" -> OracleSql.dTokenCount,
     "d_quality" -> OracleSql.dQuality,

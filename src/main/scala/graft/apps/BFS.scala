@@ -26,9 +26,12 @@ object BFS {
       else spark.sessionState.conf.numShufflePartitions
     val maxRounds = math.min(depthLimit.toLong, 10000L).toInt
 
-    val bcast = Strategy.smallEnoughToBroadcast(g.numVertices)
-    val edges = g.preparedEdges("dir", g.edges.select("src", "dst"),
+    val tier = Strategy.tier(g.numVertices)
+    val bcast = tier == Strategy.Broadcast
+    lazy val edges = g.preparedEdges("dir", g.edges.select("src", "dst"),
       if (bcast) "dst" else "src", p)
+    lazy val blocks =
+      g.preparedBlocks("csr", g.edges.select("src", "dst"), p)
 
     // state: (vid, depth [-1 = unreached], _changed = in current frontier)
     val init = g.vertices.select(
@@ -42,8 +45,15 @@ object BFS {
       step = (state, round) => {
         val frontier = state.where(col("_changed") === 1)
           .select(col("vid").as("src"))
-        val reached = edges.join(Strategy.state(frontier, bcast), "src")
-          .select(col("dst").as("vid")).distinct()
+        val reached =
+          if (tier == Strategy.CsrGather)
+            // gatherMin over a constant-1 state = "dsts with at least one
+            // frontier in-neighbor" — the edge blocks never move
+            graft.graph.EdgeBlocks.gatherMin(blocks,
+              frontier.select(col("src").as("vid"), lit(1L).as("value")),
+              p).select(col("vid"))
+          else edges.join(Strategy.state(frontier, bcast), "src")
+            .select(col("dst").as("vid")).distinct()
         state.join(reached.withColumn("hit", lit(1)), Seq("vid"), "left")
           .select(
             col("vid"),

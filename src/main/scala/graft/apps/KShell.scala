@@ -34,10 +34,12 @@ object KShell {
     val spark = g.spark
     val p = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val bcast = Strategy.smallEnoughToBroadcast(g.numVertices)
+    val tier = Strategy.tier(g.numVertices)
+    val bcast = tier == Strategy.Broadcast
     val undTag = if (g.simpleEdges && !g.directed) "dir" else "und"
-    val edges = g.preparedEdges(undTag, g.undirectedDedup,
+    lazy val edges = g.preparedEdges(undTag, g.undirectedDedup,
       if (bcast) "dst" else "src", p)
+    lazy val blocks = g.preparedBlocks(s"csr-$undTag", g.undirectedDedup, p)
 
     val init = g.undirectedDegrees
       .select(col("vid"), col("deg").cast("long").as("core"))
@@ -53,11 +55,17 @@ object KShell {
     val res = Iterate.run(
       init, maxRounds,
       step = (state, _) => {
-        val nbrEst = edges
-          .join(Strategy.state(
-            state.select(col("vid").as("src"), col("core")), bcast), "src")
-          .groupBy(col("dst").as("vid"))
-          .agg(collect_list(col("core")).as("ests"))
+        val nbrEst =
+          if (tier == Strategy.CsrGather)
+            graft.graph.EdgeBlocks.gatherCollect(blocks,
+              state.select(col("vid"), col("core").as("value")), p)
+              .select(col("vid"), col("values").as("ests"))
+          else edges
+            .join(Strategy.state(
+              state.select(col("vid").as("src"), col("core")), bcast),
+              "src")
+            .groupBy(col("dst").as("vid"))
+            .agg(collect_list(col("core")).as("ests"))
         state.join(nbrEst, Seq("vid"), "left").select(
           col("vid"),
           when(col("ests").isNull, lit(0L))

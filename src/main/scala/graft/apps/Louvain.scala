@@ -108,9 +108,13 @@ object Louvain {
     var assign = k.select(col("vid"), col("vid").as("comm"), col("k"))
       .localCheckpoint(true)
     var round = 0
-    var moved = 1L
+    // Moves are parity-gated (odd rounds move only to smaller comm ids,
+    // even only to larger), so one zero-move round only proves the ALLOWED
+    // direction is exhausted; terminate after two consecutive zero-move
+    // rounds (one of each parity).
+    var zeroStreak = 0
     var prevCk: DataFrame = null
-    while (moved > 0 && round < maxRounds) {
+    while (zeroStreak < 2 && round < maxRounds) {
       round += 1
       val commTot = assign.groupBy("comm").agg(sum(col("k")).as("tot"))
       // w(v -> c) over real neighbor edges.
@@ -125,37 +129,41 @@ object Louvain {
         .unionByName(assign.select(col("vid"), col("comm").as("c"),
           lit(0.0).as("wvc")))
         .groupBy("vid", "c").agg(max(col("wvc")).as("wvc"))
+      val parity = round % 2 // 0: move to larger ids; 1: to smaller
       val scored = cands
         .join(assign.select(col("vid"), col("comm").as("cur"), col("k")),
           "vid")
+        // Candidate set = current community + the parity-ALLOWED direction
+        // only, so the argmax can never be masked by a blocked candidate
+        // (a round where every vertex's best global candidate points the
+        // blocked way must not read as converged).
+        .where(col("c") === col("cur") ||
+          (if (parity == 1) col("c") < col("cur")
+           else col("c") > col("cur")))
         .join(commTot.select(col("comm").as("c"), col("tot")), "c")
         .select(col("vid"), col("c"), col("cur"), col("k"),
           (col("wvc") - col("k") *
             (col("tot") - when(col("c") === col("cur"), col("k"))
               .otherwise(lit(0.0))) / lit(m2)).as("score"))
-      // Best = max score, ties to smallest community id; compare against
-      // the current community's score.
+      // Best = max score among allowed candidates, ties to smallest
+      // community id; compare against the current community's score.
       val best = scored.groupBy("vid").agg(
         max(struct(col("score"), (-col("c")).as("nc"))).as("b"),
         max(when(col("c") === col("cur"), col("score"))).as("curScore"))
         .select(col("vid"), (-col("b.nc")).as("bestC"),
           col("b.score").as("bestScore"), col("curScore"))
-      val parity = round % 2 // 0: move to larger ids; 1: to smaller
       val next = assign.join(best, "vid").select(
         col("vid"),
         when(col("bestC") =!= col("comm") &&
-          col("bestScore") > col("curScore") &&
-          (if (parity == 1) col("bestC") < col("comm")
-           else col("bestC") > col("comm")),
+          col("bestScore") > col("curScore"),
           col("bestC")).otherwise(col("comm")).as("comm"),
         col("k"),
         when(col("bestC") =!= col("comm") &&
-          col("bestScore") > col("curScore") &&
-          (if (parity == 1) col("bestC") < col("comm")
-           else col("bestC") > col("comm")), lit(1L))
+          col("bestScore") > col("curScore"), lit(1L))
           .otherwise(lit(0L)).as("_moved"))
         .localCheckpoint(true)
-      moved = next.agg(sum(col("_moved"))).head().getLong(0)
+      val moved = next.agg(sum(col("_moved"))).head().getLong(0)
+      zeroStreak = if (moved == 0L) zeroStreak + 1 else 0
       if (prevCk != null) prevCk.unpersist()
       prevCk = next
       assign = next.drop("_moved")

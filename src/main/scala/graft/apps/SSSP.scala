@@ -28,10 +28,13 @@ object SSSP {
     val p = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
 
-    val bcast = Strategy.smallEnoughToBroadcast(g.numVertices)
-    val edges = g.preparedEdges("dirw",
+    val tier = Strategy.tier(g.numVertices)
+    val bcast = tier == Strategy.Broadcast
+    lazy val edges = g.preparedEdges("dirw",
       g.edges.select("src", "dst", "weight"),
       if (bcast) "dst" else "src", p)
+    lazy val blocks = g.preparedWeightedBlocks("csrw",
+      g.edges.select("src", "dst", "weight"), p)
 
     val inf = Double.MaxValue
     val init = g.vertices.select(
@@ -45,9 +48,15 @@ object SSSP {
       step = (state, _) => {
         val frontier = state.where(col("_changed") === 1)
           .select(col("vid").as("src"), col("dist"))
-        val relax = edges.join(Strategy.state(frontier, bcast), "src")
-          .groupBy(col("dst").as("vid"))
-          .agg(min(col("dist") + col("weight")).as("nd"))
+        val relax =
+          if (tier == Strategy.CsrGather)
+            graft.graph.EdgeBlocks.gatherMinPlus(blocks,
+              frontier.select(col("src").as("vid"),
+                col("dist").as("value")), p)
+              .select(col("vid"), col("min_value").as("nd"))
+          else edges.join(Strategy.state(frontier, bcast), "src")
+            .groupBy(col("dst").as("vid"))
+            .agg(min(col("dist") + col("weight")).as("nd"))
         state.join(relax, Seq("vid"), "left").select(
           col("vid"),
           least(col("dist"), coalesce(col("nd"), col("dist"))).as("dist"),

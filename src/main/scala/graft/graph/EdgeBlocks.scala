@@ -131,7 +131,14 @@ object EdgeBlocks {
             if (s < v) si += 1
             else if (s > v) vi += 1
             else {
-              val value = sorted(vi).value
+              // Fold an equal-vid run in the state (duplicate vids sum,
+              // matching what groupBy(vid).agg(sum) of the bundle would
+              // produce) before scanning the adjacency once.
+              var value = sorted(vi).value
+              vi += 1
+              while (vi < sorted.length && sorted(vi).vid == s) {
+                value += sorted(vi).value; vi += 1
+              }
               var j = offs(si)
               val end = offs(si + 1)
               while (j < end) {
@@ -140,7 +147,7 @@ object EdgeBlocks {
                 touched(k) = true
                 j += 1
               }
-              si += 1; vi += 1
+              si += 1
             }
           }
           val out = mutable.ArrayBuffer[Partial]()
@@ -157,6 +164,203 @@ object EdgeBlocks {
 
   final case class VertexLongValue(vid: Long, value: Long)
   final case class LongPartial(vid: Long, partial: Long)
+
+  /** CSR block with a per-edge weight array parallel to dstIndex (the
+    * reference's NbrUnit carries eid -> edata the same way,
+    * arrow_projected_fragment.h:431-470). */
+  final case class WeightedEdgeBlock(
+      pid: Int,
+      srcIds: Array[Long],
+      dstOffsets: Array[Int],
+      dstIndex: Array[Int],
+      dstUnique: Array[Long],
+      weights: Array[Double])
+
+  /** Pack (src, dst, weight) into P weighted CSR blocks — the layout of
+    * [[build]] plus the parallel weight array. */
+  def buildWeighted(edges: DataFrame, p: Int): Dataset[WeightedEdgeBlock] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("src"), col("dst"),
+        col("weight").cast("double").as("weight"),
+        pidOf(col("src"), p).as("pid"))
+      .repartition(p, col("pid"))
+      .sortWithinPartitions(col("pid"), col("src"), col("dst"))
+      .as[(Long, Long, Double, Int)]
+      .mapPartitions { it =>
+        new Iterator[WeightedEdgeBlock] {
+          private val buf = it.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): WeightedEdgeBlock = {
+            val pid = buf.head._4
+            val srcs = mutable.ArrayBuffer[Long]()
+            val offs = mutable.ArrayBuffer[Int](0)
+            val dsts = mutable.ArrayBuffer[Long]()
+            val ws = mutable.ArrayBuffer[Double]()
+            var last = Long.MinValue
+            var started = false
+            while (buf.hasNext && buf.head._4 == pid) {
+              val (s, d, w, _) = buf.next()
+              if (!started || s != last) {
+                if (started) offs += dsts.length
+                srcs += s; last = s; started = true
+              }
+              dsts += d; ws += w
+            }
+            offs += dsts.length
+            val flat = dsts.toArray
+            val uniq = {
+              val a = flat.clone(); java.util.Arrays.sort(a)
+              var n = 0
+              var i = 0
+              while (i < a.length) {
+                if (n == 0 || a(n - 1) != a(i)) { a(n) = a(i); n += 1 }
+                i += 1
+              }
+              java.util.Arrays.copyOf(a, n)
+            }
+            val idx = new Array[Int](flat.length)
+            var i = 0
+            while (i < flat.length) {
+              idx(i) = java.util.Arrays.binarySearch(uniq, flat(i))
+              i += 1
+            }
+            WeightedEdgeBlock(pid, srcs.toArray, offs.toArray, idx, uniq,
+              ws.toArray)
+          }
+        }
+      }
+      // same partitioning-erasure handling as build()
+      .repartition(p, col("pid"))
+  }
+
+  final case class DoublePartial(vid: Long, partial: Double)
+
+  /** gather-min-plus over a DOUBLE-valued state (the SSSP relax shape):
+    * for every dst with at least one contributing src, the minimum of
+    * (src value + edge weight). Same two-small-shuffles structure as
+    * gatherSum — the weighted blocks never move. */
+  def gatherMinPlus(blocks: Dataset[WeightedEdgeBlock], state: DataFrame,
+      p: Int): DataFrame = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    val bundles = state
+      .select(pidOf(col("vid"), p).as("pid"),
+        col("vid"), col("value").cast("double").as("value"))
+      .groupBy("pid")
+      .agg(collect_list(struct(col("vid"), col("value"))).as("vals"))
+    blocks.toDF()
+      .join(bundles, "pid")
+      .as[(Int, Array[Long], Array[Int], Array[Int], Array[Long],
+        Array[Double], Array[VertexValue])]
+      .mapPartitions { it =>
+        it.flatMap { case (_, srcs, offs, idx, uniq, ws, vals) =>
+          val sorted = vals.sortBy(_.vid)
+          val acc = new Array[Double](uniq.length)
+          java.util.Arrays.fill(acc, Double.MaxValue)
+          var si = 0
+          var vi = 0
+          while (si < srcs.length && vi < sorted.length) {
+            val s = srcs(si)
+            val v = sorted(vi).vid
+            if (s < v) si += 1
+            else if (s > v) vi += 1
+            else {
+              // equal-vid runs take the MIN source value
+              var value = sorted(vi).value
+              vi += 1
+              while (vi < sorted.length && sorted(vi).vid == s) {
+                if (sorted(vi).value < value) value = sorted(vi).value
+                vi += 1
+              }
+              var j = offs(si)
+              val end = offs(si + 1)
+              while (j < end) {
+                val k = idx(j)
+                val cand = value + ws(j)
+                if (cand < acc(k)) acc(k) = cand
+                j += 1
+              }
+              si += 1
+            }
+          }
+          val out = mutable.ArrayBuffer[DoublePartial]()
+          var k = 0
+          while (k < uniq.length) {
+            if (acc(k) != Double.MaxValue)
+              out += DoublePartial(uniq(k), acc(k))
+            k += 1
+          }
+          out.iterator
+        }
+      }
+      .groupBy("vid").agg(min(col("partial")).as("min_value"))
+  }
+
+  final case class ArrayPartial(vid: Long, partial: Array[Long])
+
+  /** gather-collect over a LONG-valued state (the k-shell h-index shape):
+    * for every dst with at least one contributing src, the ARRAY of
+    * contributing src values (per-block partial arrays flattened by one
+    * groupBy — the edges stay put; only state bundles and value arrays
+    * move, never the edge relation). */
+  def gatherCollect(blocks: Dataset[EdgeBlock], state: DataFrame, p: Int)
+      : DataFrame = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    val bundles = state
+      .select(pidOf(col("vid"), p).as("pid"),
+        col("vid"), col("value").cast("long").as("value"))
+      .groupBy("pid")
+      .agg(collect_list(struct(col("vid"), col("value"))).as("vals"))
+    blocks.toDF()
+      .join(bundles, "pid")
+      .as[(Int, Array[Long], Array[Int], Array[Int], Array[Long],
+        Array[VertexLongValue])]
+      .mapPartitions { it =>
+        it.flatMap { case (_, srcs, offs, idx, uniq, vals) =>
+          val sorted = vals.sortBy(_.vid)
+          val acc =
+            Array.fill(uniq.length)(null: mutable.ArrayBuffer[Long])
+          var si = 0
+          var vi = 0
+          while (si < srcs.length && vi < sorted.length) {
+            val s = srcs(si)
+            val v = sorted(vi).vid
+            if (s < v) si += 1
+            else if (s > v) vi += 1
+            else {
+              var j = offs(si)
+              val end = offs(si + 1)
+              // duplicate state vids append each value, matching what a
+              // plain join + collect_list would produce
+              var run = vi
+              while (run < sorted.length && sorted(run).vid == s) {
+                j = offs(si)
+                while (j < end) {
+                  val k = idx(j)
+                  if (acc(k) == null) acc(k) = mutable.ArrayBuffer[Long]()
+                  acc(k) += sorted(run).value
+                  j += 1
+                }
+                run += 1
+              }
+              vi = run
+              si += 1
+            }
+          }
+          val out = mutable.ArrayBuffer[ArrayPartial]()
+          var k = 0
+          while (k < uniq.length) {
+            if (acc(k) != null) out += ArrayPartial(uniq(k), acc(k).toArray)
+            k += 1
+          }
+          out.iterator
+        }
+      }
+      .groupBy("vid")
+      .agg(flatten(collect_list(col("partial"))).as("values"))
+  }
 
   /** gather-min over a LONG-valued vertex state (the WCC/label shape):
     * for every dst with at least one contributing src, the minimum src
@@ -187,7 +391,14 @@ object EdgeBlocks {
             if (s < v) si += 1
             else if (s > v) vi += 1
             else {
-              val value = sorted(vi).value
+              // Equal-vid runs in the state take the MIN (what
+              // groupBy(vid).agg(min) of the bundle would produce).
+              var value = sorted(vi).value
+              vi += 1
+              while (vi < sorted.length && sorted(vi).vid == s) {
+                if (sorted(vi).value < value) value = sorted(vi).value
+                vi += 1
+              }
               var j = offs(si)
               val end = offs(si + 1)
               while (j < end) {
@@ -195,7 +406,7 @@ object EdgeBlocks {
                 if (value < acc(k)) acc(k) = value
                 j += 1
               }
-              si += 1; vi += 1
+              si += 1
             }
           }
           val out = mutable.ArrayBuffer[LongPartial]()

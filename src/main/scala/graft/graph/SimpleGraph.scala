@@ -71,6 +71,20 @@ final case class SimpleGraph(
       })
     }
 
+  /** Memoized weighted CSR block packing (SSSP's CsrGather tier). */
+  @transient private lazy val wblockCache =
+    scala.collection.mutable.Map[(String, Int),
+      org.apache.spark.sql.Dataset[EdgeBlocks.WeightedEdgeBlock]]()
+  def preparedWeightedBlocks(tag: String, df: => DataFrame, p: Int)
+      : org.apache.spark.sql.Dataset[EdgeBlocks.WeightedEdgeBlock] =
+    wblockCache.synchronized {
+      wblockCache.getOrElseUpdate((tag, p), {
+        val b = EdgeBlocks.buildWeighted(df, p).persist()
+        b.count()
+        b
+      })
+    }
+
   /** Both-direction edge view, for algorithms that traverse in+out
     * (LoadStrategy::kBothOutIn). For undirected graphs edges are already
     * symmetric; for directed graphs union the reverse (no dedup — an edge
@@ -172,6 +186,10 @@ final case class SimpleGraph(
     blockCache.synchronized {
       blockCache.values.foreach(_.unpersist())
       blockCache.clear()
+    }
+    wblockCache.synchronized {
+      wblockCache.values.foreach(_.unpersist())
+      wblockCache.clear()
     }
     vertices.unpersist()
     edges.unpersist()

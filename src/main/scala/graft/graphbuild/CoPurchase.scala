@@ -39,6 +39,10 @@ object CoPurchase {
     * derivation self-join should run once, not once per query. */
   def graph(spark: SparkSession, dir: String): SimpleGraph =
     cache.synchronized {
+      // Bounded memoization: entries keyed by a stopped session are dead
+      // weight (their cached RDDs are gone with the context) — evict on
+      // every access so a long-lived service never accumulates them.
+      cache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
       cache.getOrElseUpdate((spark, dir), {
         val p = pairs(spark, dir)
         val edges = p.unionByName(

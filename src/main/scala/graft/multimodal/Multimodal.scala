@@ -29,35 +29,109 @@ object Multimodal {
       frames_sampled: Int,
       feature: Array[Float]) // stub embedding
 
-  /** === STUB ===: a real implementation decodes the payload with an
-    * image/audio library; this deterministic fake hashes byte windows so
-    * tests can assert exact outputs and the pipeline shape is preserved.
-    * Batch-shaped on purpose: one call per partition iterator, matching how
-    * a native decoder would amortize model/codec initialization. */
+  /** === STUB === (audio/video only, since round 3): a real
+    * implementation decodes the payload with an audio/video codec; this
+    * deterministic fake hashes byte windows so tests can assert exact
+    * outputs and the pipeline shape is preserved. Batch-shaped on purpose:
+    * one call per partition iterator, matching how a native decoder would
+    * amortize model/codec initialization. */
   object StubDecoder {
+    def decodeOne(r: MediaRow): MediaFeatures = {
+      val h = java.util.Arrays.hashCode(r.payload).toLong
+      val dim = 8
+      val feat = Array.tabulate(dim)(i =>
+        (((h * (i + 1) + r.media_id) % 1000L) / 1000.0f))
+      val frames = if (r.kind == "video")
+        math.max(1, (r.duration_ms / 1000L).toInt) else 1
+      MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, h,
+        frames, feat)
+    }
     def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
-      rows.map { r =>
-        val h = java.util.Arrays.hashCode(r.payload).toLong
-        val dim = 8
-        val feat = Array.tabulate(dim)(i =>
-          (((h * (i + 1) + r.media_id) % 1000L) / 1000.0f))
-        val frames = if (r.kind == "video")
-          math.max(1, (r.duration_ms / 1000L).toInt) else 1
-        MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, h,
-          frames, feat)
+      rows.map(decodeOne)
+  }
+
+  /** REAL image decode (pure JVM, javax.imageio — no native codecs
+    * needed): image payloads that parse as PNG/JPEG/BMP/GIF produce real
+    * features — decoded width, height, mean luminance and a 5-bin
+    * luminance histogram (dim 8, same shape as the stub embedding).
+    * Non-image kinds and undecodable image bytes fall through to
+    * StubDecoder, so the extractor is total either way. */
+  object ImageDecoder {
+    def decodeOne(r: MediaRow): MediaFeatures = {
+      if (r.kind != "image") return StubDecoder.decodeOne(r)
+      val img =
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        catch { case _: Throwable => null }
+      if (img == null) return StubDecoder.decodeOne(r)
+      val w = img.getWidth
+      val h = img.getHeight
+      val hist = new Array[Long](5)
+      var lumSum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (0.299 * ((rgb >> 16) & 0xff)
+            + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)) / 255.0
+          lumSum += lum
+          hist(math.min(4, (lum * 5).toInt)) += 1
+          x += 1
+        }
+        y += 1
       }
+      val n = (w * h).toDouble
+      val feat = Array(w.toFloat, h.toFloat, (lumSum / n).toFloat) ++
+        hist.map(c => (c / n).toFloat)
+      MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
+        java.util.Arrays.hashCode(r.payload).toLong, 1, feat)
+    }
+    def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+      rows.map(decodeOne)
+  }
+
+  /** Deterministic PNG payloads for image rows (render + encode via
+    * javax.imageio, batch-shaped like a real transcoder): gives the REAL
+    * decode path real bytes to chew on without external media files. */
+  def withRealImagePayloads(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      if (r.kind != "image") r
+      else {
+        val img = new java.awt.image.BufferedImage(
+          r.width, r.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < r.height) {
+          var x = 0
+          while (x < r.width) {
+            img.setRGB(x, y,
+              ((x * 31 + y * 17 + r.media_id) & 0xffffffL).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        r.copy(payload = bos.toByteArray)
+      }
+    })
   }
 
   /** Distributed feature extraction: mapPartitions over the typed Dataset
     * (the Scala analogue of mapInPandas batch UDFs) — repartition first so
-    * decode parallelism matches cores, independent of input file layout. */
+    * decode parallelism matches cores, independent of input file layout.
+    * Image rows take the REAL javax.imageio decode path (falling back to
+    * the stub on undecodable bytes); audio/video stay stubbed (no codecs
+    * in this container). */
   def extractFeatures(media: Dataset[MediaRow], numPartitions: Int = 0)
       : Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     val p = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    media.repartition(p).mapPartitions(StubDecoder.decodeBatch)
+    media.repartition(p).mapPartitions(ImageDecoder.decodeBatch)
   }
 
   /** Frame sampling for video rows: one output row per `intervalMs` of

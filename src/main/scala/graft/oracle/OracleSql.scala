@@ -698,10 +698,14 @@ object OracleSql {
       |  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
       |""".stripMargin
 
-  /** Deterministic multiplicative-hash Bernoulli sample (~10%). */
+  /** Deterministic multiplicative-hash Bernoulli sample (~10%); the key is
+    * masked to 31 bits before the multiply so the product never overflows
+    * BIGINT at any scale factor (keeps Spark-ANSI and DuckDB arithmetic
+    * identical). */
   val iSample: String =
     """SELECT o_orderkey, o_custkey FROM orders
-      |WHERE MOD(o_orderkey * 2654435761, 4294967296) < 429496729
+      |WHERE MOD(MOD(o_orderkey, 2147483648) * 2654435761, 4294967296)
+      |  < 429496729
       |""".stripMargin
 
   /** Self-checking ESTIMATE_COUNT: DuckDB's own HLL estimate must land
@@ -756,6 +760,43 @@ object OracleSql {
       |FROM embeddings WHERE vec_id < 50
       |""".stripMargin
 
+  /** Exact brute-force cosine top-10 replay. DuckDB-only list functions
+    * (NOT Spark-parsable — excluded from OracleConsistencySpec's layer 1;
+    * AnnSpec holds the in-JVM oracle): each product is computed in FLOAT
+    * and cast to DOUBLE before summation, replaying Spark's
+    * zip_with(float,float)=float + double-accumulator fold bit-for-bit
+    * (list_cosine_similarity's internal precision is unspecified, so it is
+    * not used). */
+  val eAnnTopk: String =
+    """WITH q AS (
+      |  SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+      |  WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.q_id, c.vec_id,
+      |    list_sum(list_transform(list_zip(c.embedding, q.qe),
+      |      x -> CAST(x[1] * x[2] AS DOUBLE)))
+      |    / (SQRT(list_sum(list_transform(c.embedding,
+      |         v -> CAST(v * v AS DOUBLE))))
+      |       * SQRT(list_sum(list_transform(q.qe,
+      |         v -> CAST(v * v AS DOUBLE))))) AS cos
+      |  FROM embeddings c CROSS JOIN q
+      |  WHERE c.vec_id <> q.q_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC,
+      |      vec_id ASC) AS rank
+      |  FROM scored)
+      |SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS vec_id,
+      |  ROUND(cos, 6) AS cos, CAST(rank AS BIGINT) AS rank
+      |FROM ranked WHERE rank <= 10
+      |""".stripMargin
+
+  /** Self-check constants: the Spark side asserts its own contract
+    * (LSH recall ≥ 0.4 of exact top-k / Louvain modularity ≥ 0.1) and
+    * emits ok=1 — the same pattern as iEstimateCount. */
+  val eAnnLshOk: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
+  val louvainCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
+
   val iAggs: String =
     """SELECT o_custkey, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 4) AS total,
       |  ROUND(MAX(o_totalprice), 4) AS mx, ROUND(MIN(o_totalprice), 4) AS mn
@@ -781,8 +822,11 @@ object OracleSql {
     * Spark truncates. */
   val mFrameSample: String =
     """WITH nums AS (
-      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS i
-      |  FROM documents LIMIT 32),
+      |  SELECT i FROM (
+      |    SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+      |      AS i
+      |    FROM documents) numbered
+      |  WHERE i < 32),
       |vids AS (
       |  SELECT doc_id AS media_id,
       |         (doc_id % 10) * 1000 + 1500 AS duration_ms

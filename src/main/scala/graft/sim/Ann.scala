@@ -104,16 +104,24 @@ object Ann {
       threshold: Double = 0.95,
       planes: Int = 8,
       tables: Int = 6): DataFrame = {
-    val b = corpus.select(col("vec_id"), col("embedding"),
+    // Buckets carry only ids: dedup the (id_a, id_b) collisions FIRST,
+    // then attach embeddings and compute the cosine exactly once per pair
+    // (a pair colliding in k of the `tables` tables must not pay k full
+    // dot products — same fix as Dedup.minhashPairs), and the bucket
+    // explosion never shuffles the wide embedding arrays.
+    val b = corpus.select(col("vec_id"),
       explode(tableBuckets(col("embedding"), planes, tables)).as("bk"))
-      .select(col("vec_id"), col("embedding"),
-        col("bk.tbl"), col("bk.bucket"))
-    val a1 = b.toDF("id_a", "e_a", "tbl", "bucket")
-    val a2 = b.toDF("id_b", "e_b", "tbl", "bucket")
-    a1.join(a2, Seq("tbl", "bucket")).where(col("id_a") < col("id_b"))
+      .select(col("vec_id"), col("bk.tbl"), col("bk.bucket"))
+    val pairs = b.toDF("id_a", "tbl", "bucket")
+      .join(b.toDF("id_b", "tbl", "bucket"), Seq("tbl", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    pairs
+      .join(emb.toDF("id_a", "e_a"), "id_a")
+      .join(emb.toDF("id_b", "e_b"), "id_b")
       .select(col("id_a"), col("id_b"),
         cosine(col("e_a"), col("e_b")).as("cos"))
       .where(col("cos") >= threshold)
-      .distinct()
   }
 }

@@ -49,7 +49,14 @@ class OracleConsistencySpec extends SparkSpec {
     "i_sample", "i_estimate_count", "i_predicates", "i_simple_path",
     "i_case_when",
     "d_exact_dedup", "d_token_count", "d_quality", "d_langid",
-    "e_cos_neardup", "m_frame_sample")
+    "e_cos_neardup", "m_frame_sample",
+    // self-check queries vs their constant oracles (the Spark side must
+    // actually produce ok=1 on the test data), and the pregel TC variant
+    // vs the shared wedge-join triangle oracle
+    "e_ann_lsh", "g_louvain_check", "g_pregel_tc")
+  // e_ann_topk's oracle uses DuckDB-only list functions (NOT
+  // Spark-parsable) — validated by AnnSpec's in-JVM oracle plus the
+  // driver's own DuckDB replay; deliberately absent from layer 1.
 
   for (name <- nonIterative) {
     test(s"$name: Spark impl == oracle SQL (full)") {
@@ -81,6 +88,11 @@ class OracleConsistencySpec extends SparkSpec {
       () => Pregel.pagerankPregel(g, 0.85, 2)
         .select(vl("vid").as("vid"), round(col("rank"), 6).as("pr")),
       OracleSql.pregelPagerank(2)),
+    // aggregator-based dangling redistribution vs the same recurrence SQL
+    ("g_pregel_pagerank_agg", 2,
+      () => Pregel.pagerankPregelAggregated(g, 0.85, 2)
+        .select(vl("vid").as("vid"), round(col("rank"), 6).as("pr")),
+      OracleSql.pagerank(2)),
     ("g_wcc", 3,
       () => WCC.run(g, maxRounds = 3)
         .select(vl("vid").as("vid"), vl("comp").as("comp")),
@@ -95,6 +107,14 @@ class OracleConsistencySpec extends SparkSpec {
       OracleSql.bfs(3)),
     ("g_sssp", 3,
       () => SSSP.run(CoPurchase.weighted(g), minVid, maxRounds = 3)
+        .select(vl("vid").as("vid"), col("dist")),
+      OracleSql.sssp(3)),
+    // the pregel variant relaxes from ALL finite vertices each round
+    // (no frontier pruning) — per-round states are identical because min
+    // is idempotent over already-delivered contributions
+    ("g_pregel_sssp", 3,
+      () => Pregel.ssspPregel(CoPurchase.weighted(g), minVid,
+          maxRounds = 3)
         .select(vl("vid").as("vid"), col("dist")),
       OracleSql.sssp(3)),
     ("g_sssp_path", 3,
@@ -229,10 +249,13 @@ class OracleConsistencySpec extends SparkSpec {
       // covered by LouvainSpec (planted partitions, modularity,
       // partition-count invariance)
       "g_louvain",
+      // serial token-walk preorder: not reasonably SQL-unrollable;
+      // covered by DfsSpec's in-JVM recursive oracle
+      "g_dfs",
       // hash-function-dependent or array-typed outputs DuckDB can't
       // reproduce portably; covered by in-JVM oracles in ScalaTest
       "d_minhash_pairs", "d_simhash", "d_ngram_jaccard", "d_fingerprint",
-      "e_ann_topk", "e_ann_lsh", "m_media_features")
+      "m_media_features")
     assert(noOracle.subsetOf(exempt),
       s"queries without oracle or exemption: ${noOracle -- exempt}")
   }

@@ -38,6 +38,18 @@ class PregelSpec extends SparkSpec {
     assertAllClose(got, rank, 1e-9, "pregel pagerank")
   }
 
+  test("aggregator-based pagerank (dangling SUM aggregator) == " +
+      "closed-form apps.PageRank") {
+    import graft.apps.PageRank
+    // graph HAS dangling vertices (5 has no out edge) so the aggregator
+    // actually carries mass
+    val want = PageRank.run(g, 0.85, 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = Pregel.pagerankPregelAggregated(g, 0.85, 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assertAllClose(got, want, 1e-9, "aggregator pagerank")
+  }
+
   test("pregel min-propagation == WCC labels") {
     val und = g.toUndirected
     val got = Pregel.run(und, 100,
@@ -97,6 +109,98 @@ class PregelSpec extends SparkSpec {
         .map(r => r.getLong(0) -> r.getDouble(1)).toMap
       assertAllClose(got, want, 1e-12, "csr pagerank")
     } finally sys.props.remove("graft.force.csr")
+  }
+
+  test("SSSP/BFS/KShell via forced CSR gather tier == default tier") {
+    import graft.apps.{BFS, KShell, SSSP}
+    val wg = g.copy(edges = g.edges.withColumn("weight",
+      (lit(1.0) + pmod(col("src") + col("dst"), lit(7)).cast("double"))))
+    val und = g.toUndirected
+    val wantS = SSSP.run(wg, 1L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val wantB = BFS.run(g, 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantK = KShell.coreNumbers(und).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sys.props("graft.force.csr") = "true"
+    try {
+      val gotS = SSSP.run(wg, 1L).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assertAllClose(gotS, wantS, 1e-12, "csr sssp")
+      val gotB = BFS.run(g, 1L).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotB == wantB, "csr bfs differs")
+      val gotK = KShell.coreNumbers(und).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotK == wantK, "csr kshell differs")
+    } finally sys.props.remove("graft.force.csr")
+  }
+
+  test("pregel sssp (convergence-gated, sssp_pregel.h) == frontier SSSP") {
+    import graft.apps.SSSP
+    val wg = g.copy(edges = g.edges.withColumn("weight",
+      (lit(1.0) + pmod(col("src") + col("dst"), lit(7)).cast("double"))))
+    val want = SSSP.run(wg, 1L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = Pregel.ssspPregel(wg, 1L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assertAllClose(got, want, 1e-12, "pregel sssp")
+  }
+
+  test("pregel tc (array messages, tc_pregel.h) == Triangles") {
+    import graft.apps.Triangles
+    val und = g.toUndirected
+    val want = Triangles.run(und).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Pregel.tcPregel(und).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"pregel tc: $got vs $want")
+  }
+
+  test("gatherSum/gatherMin fold duplicate state vids (sum / min)") {
+    import spark.implicits._
+    val blocks = EdgeBlocks.build(g.edges, 4)
+    // vid 1 appears twice in the state: contributions must SUM (gatherSum)
+    // and MIN (gatherMin), matching a groupBy-combined bundle.
+    val dup = (verts.map(v => (v, v * 1.5))
+      ++ Seq((1L, 10.0))).toDF("vid", "value")
+    val gotSum = EdgeBlocks.gatherSum(blocks, dup, 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val contribOf = verts.map(v => v -> v * 1.5).toMap
+      .updated(1L, 1.5 + 10.0)
+    val wantSum = dirEdges.groupBy(_._2).view
+      .mapValues(_.map(e => contribOf(e._1)).sum).toMap
+    assertAllClose(gotSum, wantSum, 1e-12, "gatherSum dup vids")
+
+    val dupL = (verts.map(v => (v, v * 10L)) ++ Seq((3L, 7L)))
+      .toDF("vid", "value")
+    val gotMin = EdgeBlocks.gatherMin(blocks, dupL, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val minOf = verts.map(v => v -> v * 10L).toMap.updated(3L, 7L)
+    val wantMin = dirEdges.groupBy(_._2).view
+      .mapValues(_.map(e => minOf(e._1)).min).toMap
+    assert(gotMin == wantMin, s"gatherMin dup vids: $gotMin vs $wantMin")
+  }
+
+  test("multimodal: REAL image decode (javax.imageio) recovers decoded " +
+      "dimensions and a normalized luminance histogram") {
+    val media = Multimodal.withRealImagePayloads(
+      Multimodal.mediaFromDocuments(spark, "/root/testdata/sf0.001"))
+    val metaWh = media.collect()
+      .map(r => r.media_id -> (r.width, r.height)).toMap
+    val feats = Multimodal.extractFeatures(media, 4).collect()
+      .filter(_.kind == "image")
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val (w, h) = metaWh(f.media_id)
+      assert(f.feature(0) == w.toFloat && f.feature(1) == h.toFloat,
+        s"decoded dims for ${f.media_id}")
+      assert(f.feature(2) > 0.0f && f.feature(2) < 1.0f, "mean luminance")
+      val histSum = f.feature.drop(3).sum
+      assert(math.abs(histSum - 1.0f) < 1e-3, s"hist sums to $histSum")
+      // PNG payloads are real encoded bytes, not the raw text
+      assert(f.n_bytes > 0 && f.frames_sampled == 1)
+    }
   }
 
   test("multimodal: binary plumbing + stub decode is deterministic") {

@@ -242,6 +242,13 @@ class OracleConsistencySpec extends SparkSpec {
     }
   }
 
+  test("Verify's cheap-first cost order covers every catalog entry") {
+    val missing = SparkEntry.queries.keySet -- Verify.costOrder.toSet
+    assert(missing.isEmpty,
+      s"catalog entries without an explicit Verify cost-order slot: " +
+        s"$missing")
+  }
+
   test("every query key has either an oracle or a documented exemption") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val exempt = Set(

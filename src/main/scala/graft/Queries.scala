@@ -484,6 +484,54 @@ object Queries {
   def dSimhash(spark: SparkSession, dir: String): DataFrame =
     graft.text.Dedup.simhash(t(spark, dir, "documents"))
 
+  /** Self-checking MinHash accuracy contract (signatures are
+    * xxhash-dependent, so the raw pairs are not DuckDB-replayable — the
+    * ESTIMATOR ERROR is): every LSH-found pair's estimated Jaccard must
+    * sit within 0.2 of the exact shingle-set Jaccard (64-hash MinHash
+    * concentration; measured max error 0.10 at sf0.001, 0.05 at sf0.01)
+    * and at least one pair must exist. Constant-row oracle. */
+  def dMinhashCheck(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = graft.text.Dedup.minhashPairs(docs)
+    val sh = docs.select(col("doc_id"),
+      graft.text.Dedup.shingleHashes(col("text"), 5).as("sh"))
+    pairs
+      .join(sh.toDF("id_a", "sh_a"), "id_a")
+      .join(sh.toDF("id_b", "sh_b"), "id_b")
+      .select(col("est_jaccard"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .as("true_jaccard"))
+      .agg(count(lit(1)).as("n"),
+        max(abs(col("est_jaccard") - col("true_jaccard"))).as("err"))
+      .select(when(col("n") >= 1L && col("err") <= 0.2, lit(1L))
+        .otherwise(lit(0L)).as("ok"))
+  }
+
+  /** Self-checking SimHash sensitivity contract: planted near-identical
+    * docs (one appended token) must hash close — avg Hamming ≤ 8 over 64
+    * bits (measured 2.5) — while adjacent distinct docs stay far — avg
+    * Hamming ≥ 12 (measured 18.4). Constant-row oracle. */
+  def dSimhashCheck(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val planted = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" zzz")).as("text"))
+    val sh = graft.text.Dedup.simhash(docs.unionByName(planted))
+      .localCheckpoint(true)
+    val a = sh.toDF("ia", "sa")
+    val nearAvg = a.join(sh.toDF("ib", "sb"),
+        col("ib") === col("ia") + 1000000L)
+      .agg(avg(graft.text.Dedup.hamming64(col("sa"), col("sb"))))
+      .head().getDouble(0)
+    val farAvg = a.join(sh.toDF("ib", "sb"), col("ib") === col("ia") + 1L)
+      .where(col("ia") < 1000000L)
+      .agg(avg(graft.text.Dedup.hamming64(col("sa"), col("sb"))))
+      .head().getDouble(0)
+    spark.range(1).select(
+      when(lit(nearAvg) <= 8.0 && lit(farAvg) >= 12.0, lit(1L))
+        .otherwise(lit(0L)).as("ok"))
+  }
+
   def dNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     graft.text.Dedup.ngramJaccardPairs(t(spark, dir, "documents"))
       .select(col("id_a"), col("id_b"),
@@ -555,6 +603,29 @@ object Queries {
       graft.multimodal.Multimodal.mediaFromDocuments(spark, dir))
       .toDF().select("media_id", "kind", "n_bytes", "payload_hash",
         "frames_sampled")
+
+  /** Self-checking REAL image decode (javax.imageio): deterministic PNG
+    * payloads are rendered per image row, decoded back, and every decoded
+    * width/height must equal the row's typed metadata with the luminance
+    * histogram summing to 1 — proving the decode path reads the actual
+    * bytes, not the metadata. Constant-row oracle. */
+  def mImageDecodeCheck(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.withRealImagePayloads(
+      graft.multimodal.Multimodal.mediaFromDocuments(spark, dir))
+    val feats = graft.multimodal.Multimodal.extractFeatures(media).toDF()
+    val meta = media.toDF().select("media_id", "width", "height")
+    feats.where(col("kind") === "image")
+      .join(meta, "media_id")
+      .select(
+        when(element_at(col("feature"), 1) === col("width").cast("float")
+          && element_at(col("feature"), 2) === col("height").cast("float")
+          && abs(aggregate(slice(col("feature"), 4, 5), lit(0.0),
+               (acc, x) => acc + x) - lit(1.0)) < 0.001,
+          lit(1L)).otherwise(lit(0L)).as("good"))
+      .agg(count(lit(1)).as("n"), min(col("good")).as("allgood"))
+      .select(when(col("n") >= 1L && col("allgood") === 1L, lit(1L))
+        .otherwise(lit(0L)).as("ok"))
+  }
 
   def dLangId(spark: SparkSession, dir: String): DataFrame = {
     def cnt(w: String) = (length(col("text"))

@@ -1,69 +1,54 @@
 package graft
 
-import graft.apps.PageRank
-import graft.graph.SimpleGraph
+// Dev probe (not part of the product surface): measures the statistics
+// behind the d_minhash_check / d_simhash_check self-check thresholds.
+import graft.text.Dedup
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev probe (not part of the driver contract): spot-time one
-  * configuration against the scaled-graph parquet left by Bench. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val path = sys.env.getOrElse("SPARK_GRAFT_SCALED",
-      "target/bench-scaled-c64")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "false")
-      .config("spark.sql.join.preferSortMergeJoin",
-        (!sys.env.contains("GRAFT_PROBE_SHJ")).toString)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val pairs = spark.read.parquet(path)
-    val edges = pairs.unionByName(
-      pairs.select(col("dst").as("src"), col("src").as("dst"))).persist()
-    println(s"edges=${edges.count()}")
-    val verts = spark.range(50000L).select(col("id").as("vid")).persist()
-    verts.count()
-    val g = SimpleGraph(verts, edges, directed = false, simpleEdges = true)
-    if (sys.env.contains("GRAFT_PROBE_GATHER")) {
-      import graft.graph.EdgeBlocks
-      def t[T](name: String)(f: => T): T = {
-        val t0 = System.nanoTime()
-        val r = f
-        println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-        r
-      }
-      val blocks = t("build+persist") {
-        val b = EdgeBlocks.build(g.edges.select("src", "dst"), cpus)
-          .persist()
-        b.count(); b
-      }
-      val state = verts.select(col("vid"), rand(7).as("value"))
-        .localCheckpoint(true)
-      t("scan-cached-blocks") { blocks.toDF().count() }
-      t("deserialize-blocks") {
-        import spark.implicits._
-        blocks.map(b => b.srcIds.length).reduce(_ + _)
-      }
-      for (i <- 1 to 3)
-        t(s"gatherSum-$i") {
-          EdgeBlocks.gatherSum(blocks, state, cpus).count()
-        }
-      EdgeBlocks.gatherSum(blocks, state, cpus).explain("formatted")
-      spark.stop(); return
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val dir = s"/root/testdata/$sf"
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+      // minhash: |est - true| distribution over found pairs
+      val pairs = Dedup.minhashPairs(docs)
+      val sh = docs.select(col("doc_id"),
+        Dedup.shingleHashes(col("text"), 5).as("sh"))
+      val diag = pairs
+        .join(sh.toDF("id_a", "sh_a"), "id_a")
+        .join(sh.toDF("id_b", "sh_b"), "id_b")
+        .select(col("est_jaccard"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+            / size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+            .as("tj"))
+        .agg(count(lit(1)).as("n"),
+          max(abs(col("est_jaccard") - col("tj"))).as("max_err"),
+          avg(abs(col("est_jaccard") - col("tj"))).as("avg_err"))
+      println(s"$sf minhash: ${diag.head()}")
+
+      // simhash: planted one-word-append pairs vs adjacent-doc pairs
+      val planted = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zzz")).as("text"))
+      val all = docs.select("doc_id", "text").unionByName(planted)
+      val shh = Dedup.simhash(all)
+      val a = shh.toDF("ia", "sa")
+      val p = a.join(shh.toDF("ib", "sb"),
+          col("ib") === col("ia") + 1000000L)
+        .select(Dedup.hamming64(col("sa"), col("sb")).as("h"))
+        .agg(count(lit(1)), max(col("h")), avg(col("h")))
+      println(s"$sf simhash planted: ${p.head()}")
+      val r = a.join(shh.toDF("ib", "sb"), col("ib") === col("ia") + 1L)
+        .where(col("ia") < 1000000L)
+        .select(Dedup.hamming64(col("sa"), col("sb")).as("h"))
+        .agg(count(lit(1)), min(col("h")), avg(col("h")))
+      println(s"$sf simhash adjacent: ${r.head()}")
     }
-    if (sys.env.contains("GRAFT_PROBE_CSR"))
-      sys.props("graft.force.csr") = "true"
-    if (sys.env.contains("GRAFT_PROBE_SHUFFLE"))
-      sys.props("graft.force.shuffle") = "true"
-    PageRank.run(g, 0.85, 1).count()
-    val t0 = System.nanoTime()
-    val chk = PageRank.run(g, 0.85, 10)
-      .agg(round(sum(col("rank")) * 1e6, 0)).head().getDouble(0)
-    val t = (System.nanoTime() - t0) / 1e9
-    println(f"pr10_sec=$t%.2f chk=$chk")
     spark.stop()
   }
 }

@@ -80,16 +80,20 @@ object SparkEntry {
     "d_quality" -> (Queries.dQuality(_, _)),
     "d_langid" -> (Queries.dLangId(_, _)),
     "d_minhash_pairs" -> (Queries.dMinhashPairs(_, _)),
+    "d_minhash_check" -> (Queries.dMinhashCheck(_, _)),
     "d_simhash" -> (Queries.dSimhash(_, _)),
+    "d_simhash_check" -> (Queries.dSimhashCheck(_, _)),
     "d_ngram_jaccard" -> (Queries.dNgramJaccard(_, _)),
     "d_fingerprint" -> (Queries.dFingerprint(_, _)),
     // Similarity search over embeddings
     "e_ann_topk" -> (Queries.eAnnTopk(_, _)),
     "e_ann_lsh" -> (Queries.eAnnLsh(_, _)),
     "e_cos_neardup" -> (Queries.eCosNearDup(_, _)),
-    // Multimodal binary-column plumbing (stubbed decode)
+    // Multimodal binary-column plumbing (real imageio decode for images;
+    // stubbed audio/video codecs)
     "m_media_features" -> (Queries.mMediaFeatures(_, _)),
     "m_frame_sample" -> (Queries.mFrameSample(_, _)),
+    "m_image_decode_check" -> (Queries.mImageDecodeCheck(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -152,6 +156,9 @@ object SparkEntry {
     "e_cos_neardup" -> OracleSql.eCosNearDup,
     "e_ann_topk" -> OracleSql.eAnnTopk,
     "e_ann_lsh" -> OracleSql.eAnnLshOk,
+    "d_minhash_check" -> OracleSql.dMinhashCheck,
+    "d_simhash_check" -> OracleSql.dSimhashCheck,
+    "m_image_decode_check" -> OracleSql.mImageDecodeCheck,
     "d_exact_dedup" -> OracleSql.dExactDedup,
     "d_token_count" -> OracleSql.dTokenCount,
     "d_quality" -> OracleSql.dQuality,

@@ -38,11 +38,11 @@ object Verify {
     "i_aggs", "i_math", "i_fold_unfold", "i_sample", "i_estimate_count",
     "i_predicates", "i_case_when",
     "d_exact_dedup", "d_token_count", "d_quality", "d_langid",
-    "d_fingerprint", "d_simhash",
-    "m_frame_sample", "m_media_features",
+    "d_fingerprint", "d_simhash", "d_simhash_check",
+    "m_frame_sample", "m_media_features", "m_image_decode_check",
     // small joins / bucketed similarity
     "e_ann_topk", "e_ann_lsh", "e_cos_neardup",
-    "d_ngram_jaccard", "d_minhash_pairs",
+    "d_ngram_jaccard", "d_minhash_pairs", "d_minhash_check",
     // graph: first entry builds the shared co-purchase graph
     "g_degree", "g_degree_centrality", "i_simple_path", "g_bfs",
     "g_bfs_parents", "g_wcc", "g_pagerank", "g_pregel_pagerank",

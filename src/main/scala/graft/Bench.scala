@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   *     Everything else — the 4-level ladder, raw-query min-of-2,
   *     strategy-tier comparison, compute-bound MinHash probe — runs only
   *     under SPARK_GRAFT_BENCH_FULL=1;
-  *   - a wall-clock budget (SPARK_GRAFT_BENCH_BUDGET seconds, default 450)
+  *   - a wall-clock budget (SPARK_GRAFT_BENCH_BUDGET seconds, default 500)
   *     is checked before each section; once 60% is spent, optional
   *     sections are skipped and the ladder degrades to whatever levels
   *     completed;
@@ -102,6 +102,62 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  private val dceSink = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Pure-CPU throughput (ops/sec of scalar arithmetic) with `threads`
+    * busy JVM threads — no Spark, no memory traffic. This measures what
+    * the VIRTUALIZED box itself can deliver when parallelism grows: on
+    * this sandbox, 32 vCPUs sustain only ~2.7x the arithmetic of 8
+    * (measured 0.66-0.69 "efficiency" for pure compute), so ANY job's
+    * 8->32 scaling is capped there by hardware, not by plan shape. The
+    * ladder reports its efficiency alongside this ceiling so the
+    * engine's contribution is separable from the box's. */
+  private def cpuBaseline(threads: Int, work: Long = 800000000L): Double = {
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { _ =>
+      new Thread(() => {
+        var x = 0L
+        var i = 0L
+        while (i < work) { x += i * i; i += 1 }
+        dceSink.addAndGet(x)
+      })
+    }
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    threads * work / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  /** A REAL multi-executor session: `local-cluster[n,cores,mem]` spawns
+    * `n` separate executor JVMs (own heap, own GC, serialized transport to
+    * the driver) — the faithful sandbox form of the north rule's "N and 4N
+    * executors", strictly stronger evidence than thread counts inside one
+    * JVM. Our classes ride to the executors via extraClassPath (the
+    * grading driver runs from the repo, where target/scala-2.13/classes
+    * exists); build.sbt exports SPARK_SCALA_VERSION for the executor
+    * launcher. */
+  private def clusterSession(executors: Int, coresPer: Int, memMb: Int)
+      : SparkSession = {
+    val classes = new java.io.File("target/scala-2.13/classes")
+      .getAbsolutePath
+    val s = SparkSession.builder()
+      .master(s"local-cluster[$executors,$coresPer,$memMb]")
+      .appName(s"graft-bench-${executors}x$coresPer")
+      // the master string is the WORKER's capacity; the executor itself
+      // still defaults to 1g heap without this (OOMs on the edge cache)
+      .config("spark.executor.memory", s"${memMb}m")
+      .config("spark.executor.extraClassPath", classes)
+      .config("spark.sql.shuffle.partitions",
+        (executors * coresPer).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.rpc.askTimeout", "120s")
+      .config("spark.network.timeout", "240s")
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
   /** K-fold edge replication of the co-purchase graph into a FIXED dense
     * vertex space: copy i hash-remaps both endpoints with seed i into
     * [0, vSpace). Edge count scales ~linearly with `copies` while the
@@ -147,15 +203,19 @@ object Bench {
     * min of two passes — the sandbox hypervisor steals CPU in bursts
     * (observed 2-4x swings on identical code) and the minimum is the
     * robust estimator; the default single pass keeps the driver window.
-    * The PR part of the checksum is quantized to 1e-6 — the raw double sum
-    * differs in final ULPs across partition counts (aggregation order),
-    * which is not a result difference at the 1e-6 comparison tolerance. */
+    * Checksums are vid-WEIGHTED so they discriminate (plain Σrank is the
+    * conserved mass 1.0 and plain Σcomp is 0 on a 0-rooted single
+    * component — both vacuous), and the PR part is quantized to 1e-6 —
+    * the raw double sum differs in final ULPs across partition counts
+    * (aggregation order), not a result difference at the comparison
+    * tolerance. */
   private def headline(g: SimpleGraph, repeats: Int)
       : (Double, Double, Int, Double) = {
     PageRank.run(g, 0.85, 2).count() // builds shared caches + JIT warmth
     def prOnce = time {
       PageRank.run(g, 0.85, 10)
-        .agg(round(sum(col("rank")) * 1e6, 0)).head().getDouble(0)
+        .agg(round(sum(col("rank") * col("vid")) * 1e6, 0))
+        .head().getDouble(0)
     }
     val (prChk, prT1) = prOnce
     val prT = if (repeats > 1) math.min(prT1, prOnce._2) else prT1
@@ -166,7 +226,8 @@ object Bench {
     val wccT = if (repeats > 1)
       math.min(wccT1, time(WCC.runWithRounds(g)._1.count())._2)
     else wccT1
-    val chk = prChk + wccDf.agg(sum(col("comp"))).head().getLong(0)
+    val chk = prChk + wccDf
+      .agg(sum((col("comp") + 1L) * col("vid"))).head().getLong(0)
     (prT, wccT, wccRounds, chk)
   }
 
@@ -202,7 +263,7 @@ object Bench {
     val lo = math.max(1, hi / 4)
     val full = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
     val budgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "450").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "500").toDouble
     def budgetLeft(frac: Double): Boolean = elapsed < frac * budgetSec
     val repeats = if (full) 2 else 1
     // Measured at sf0.1: copies=16 (38M directed edges) leaves each round
@@ -235,12 +296,13 @@ object Bench {
       queryTimes("g_wcc") = wccRawT
       putQueries(); emit()
     }
-    Seq[(String, (SparkSession, String) => DataFrame)](
-      "g_cdlp" -> (Queries.cdlp(_, _)),
-      "g_triangles" -> (Queries.triangles(_, _)),
+    (Seq[(String, (SparkSession, String) => DataFrame)](
       "g_degree" -> (Queries.degree(_, _)),
       "i_aggs" -> (Queries.iAggs(_, _)),
       "d_exact_dedup" -> (Queries.dExactDedup(_, _))
+    ) ++ (if (full) Seq[(String, (SparkSession, String) => DataFrame)](
+      "g_cdlp" -> (Queries.cdlp(_, _)),
+      "g_triangles" -> (Queries.triangles(_, _))) else Nil)
     ).foreach { case (name, f) =>
       // raw extras are informational; never let them eat the ladder budget
       if (budgetLeft(0.4)) safe(name) {
@@ -257,6 +319,22 @@ object Bench {
         math.max(1, copies / 4), tierPath)
     }
     spark.stop()
+
+    // Hardware scaling ceiling: pure-JVM arithmetic throughput at lo and
+    // hi thread counts (min-of-2 each, short JIT warm). See cpuBaseline.
+    var cpuEffLoHi = -1.0
+    safe("cpu_baseline") {
+      cpuBaseline(2, 50000000L) // JIT warm
+      def measure(t: Int) =
+        math.max(cpuBaseline(t), cpuBaseline(t)) // max = least-stolen pass
+      val rLo = measure(lo)
+      val rHi = measure(hi)
+      cpuEffLoHi = (rHi / rLo) / (hi.toDouble / lo)
+      fields("cpu_baseline") =
+        s"""{"ops_per_sec_$lo":${rLo.round},"ops_per_sec_$hi":${rHi.round},""" +
+          s""""efficiency_${lo}_$hi":${fmt(cpuEffLoHi)}}"""
+      emit()
+    }
 
     // --- scaling ladder: identical jobs, same scaled input file.
     // Default levels: (hi/4, hi) — the N -> 4N pair the north rule names.
@@ -281,10 +359,13 @@ object Bench {
       if (ladder.contains(a) && ladder.contains(b))
         Some((ladderEps(b) / ladderEps(a)) / (b.toDouble / a))
       else None
+    val ladderMode =
+      scala.collection.mutable.LinkedHashMap[Int, String]()
     def emitScaling(): Unit = {
       val entries = ladder.map { case (c, (prT, wccT, _, _)) =>
         s""""c$c":{"pr_sec":${fmt(prT, 2)},"wcc_sec":${fmt(wccT, 2)},""" +
-          s""""eps":${ladderEps(c).round}}"""
+          s""""eps":${ladderEps(c).round},""" +
+          s""""mode":"${ladderMode.getOrElse(c, "?")}"}"""
       }.mkString(",")
       // Every completed 4x pair (guarded — r2 hardcoded levels(3) and a
       // small-cpu run would throw before any output landed).
@@ -293,18 +374,48 @@ object Bench {
           s""""efficiency_${a}_${b}":${fmt(v)}""")))
       val resultsMatch = ladder.values.map(r => (r._4, r._3)).toSet
         .size == 1
+      // Engine efficiency normalized by the hardware ceiling: what
+      // fraction of the box's OWN lo->hi arithmetic scaling the superstep
+      // ladder achieves (1.0 = the plan scales as well as pure compute
+      // can on this VM).
+      val norm = effNum(lo, hi)
+        .filter(_ => cpuEffLoHi > 0)
+        .map(e => s""""efficiency_${lo}_${hi}_vs_cpu_ceiling":""" +
+          fmt(e / cpuEffLoHi) + ",")
+        .getOrElse("")
       fields("scaling") =
         (s"""{"edges":$nEdges,"iters":${10 + ladder.head._2._3},""" +
           s""""levels":{$entries},""" +
           (if (effs.nonEmpty) effs.mkString("", ",", ",") else "") +
+          norm +
           s""""results_match":$resultsMatch}""")
       emit()
     }
+    // Ladder levels run in-process (local[cpus]) by default.
+    // SPARK_GRAFT_EXEC_LADDER=1 switches them to REAL separate executor
+    // JVMs — (cpus / lo) executors x lo cores, so lo vs hi is literally
+    // "N executors vs 4N executors" — but on THIS single box the
+    // per-round driver->executor broadcast/RPC transport dominates at
+    // 2e8 edges (measured: the 4x8 level crawled at <2 busy cores per
+    // executor), so the timed ladder stays on threads for the driver
+    // window and real-executor evidence comes from the cheap
+    // executor-invariance section below. A failed cluster level falls
+    // back to threads automatically so the north-rule metric never
+    // vanishes.
+    val threadLadder =
+      !sys.env.get("SPARK_GRAFT_EXEC_LADDER").contains("1")
+    val execMemMb =
+      sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "16384").toInt
     /** One ladder level: min-of-2 headline, folded (min) into any prior
       * measurement of the same level. */
-    def runLevel(cpus: Int): Unit = {
-      spark = session(cpus)
-      safe(s"scaling_$cpus") {
+    def runLevel(cpus: Int, cluster: Boolean): Unit = {
+      val execs = math.max(1, cpus / lo)
+      val per = cpus / execs
+      spark =
+        if (cluster) clusterSession(execs, per, execMemMb)
+        else session(cpus)
+      val mode = if (cluster) s"${execs}x$per executors" else s"local[$cpus]"
+      safe(s"scaling_$cpus($mode)") {
         val g = readScaledGraph(spark, scaledPath)
         nEdges = g.edges.count()
         val r = headline(g, 2)
@@ -314,6 +425,7 @@ object Bench {
             (math.min(p0, r._1), math.min(w0, r._2), r._3, r._4)
           case None => r
         }
+        ladderMode(cpus) = mode
         emitScaling()
       }
       if (full && cpus == lo && !ladder.contains(hi) && budgetLeft(0.6))
@@ -322,14 +434,19 @@ object Bench {
           cpLoT = math.min(computeProbe(spark, sfDir, 4),
             computeProbe(spark, sfDir, 4))
         }
-      if (cpus != hi) spark.stop()
+      spark.stop()
       // Level isolation: leftover garbage from the previous level's
       // cached graph otherwise lands as GC pauses inside the next
       // level's timing.
       System.gc()
     }
     for (cpus <- levels) {
-      if (cpus == hi || cpus == lo || budgetLeft(0.8)) runLevel(cpus)
+      if (cpus == hi || cpus == lo || budgetLeft(0.8)) {
+        runLevel(cpus, cluster = !threadLadder)
+        // thread fallback if the cluster level failed to produce a number
+        if (!threadLadder && !ladder.contains(cpus))
+          runLevel(cpus, cluster = false)
+      }
     }
     // The sandbox hypervisor steals CPU in sustained bursts (a burst can
     // swallow BOTH timing passes of one level: observed a nonsense 1.5
@@ -341,14 +458,52 @@ object Bench {
     // fold in the min.
     var retries = 0
     while (retries < 2 && budgetLeft(0.85) &&
-        effNum(lo, hi).exists(e => e < 0.75 || e > 1.1)) {
+        effNum(lo, hi).exists(e => e < 0.65 || e > 1.1)) {
       retries += 1
       val worse = Seq(lo, hi).minBy(c => ladderEps(c) / c)
       System.err.println(s"[bench] efficiency ${effNum(lo, hi)} outside " +
-        s"[0.75,1.1] — re-measuring c$worse (retry $retries)")
+        s"[0.65,1.1] — re-measuring c$worse (retry $retries)")
       if (spark != null) spark.stop()
-      runLevel(worse)
+      runLevel(worse,
+        cluster = ladderMode.get(worse).exists(_.contains("executors")))
     }
+    // Multi-executor invariance (the north rule's "two cluster sizes" on
+    // REAL separate executor JVMs; reference precedent:
+    // python/tests/test_scalability.py:42-56): PageRank+WCC on the raw
+    // graph must produce IDENTICAL checksums on a 1-executor and a
+    // 4-executor local-cluster. Cheap (raw sf, two short sessions) and
+    // untimed — correctness across cluster sizes, not throughput.
+    if (budgetLeft(0.9)) safe("executor_invariance") {
+      // Spark allows ONE active context per JVM — getOrCreate on an
+      // active session would silently IGNORE the local-cluster master
+      // (and the checks would fraudulently run in-process). The ladder
+      // always stops its last session; make it impossible regardless.
+      if (spark != null && !spark.sparkContext.isStopped) spark.stop()
+      val per = math.max(2, lo / 2)
+      def chk(execs: Int): (Double, Long, Int) = {
+        val s = clusterSession(execs, per, 4096)
+        try {
+          val g = CoPurchase.graph(s, sfDir)
+          // vid-weighted checksums — see headline()
+          val pr = PageRank.run(g, 0.85, 10)
+            .agg(round(sum(col("rank") * col("vid")) * 1e6, 0))
+            .head().getDouble(0)
+          val (wcc, rounds) = WCC.runWithRounds(g)
+          val w = wcc.agg(sum((col("comp") + 1L) * col("vid")))
+            .head().getLong(0)
+          (pr, w, rounds)
+        } finally s.stop()
+      }
+      val one = chk(1)
+      val four = chk(4)
+      fields("executor_invariance") =
+        s"""{"clusters":"1x$per vs 4x$per executor JVMs",""" +
+          s""""results_match":${one == four},""" +
+          s""""pr_checksum":${fmt(one._1, 0)},""" +
+          s""""wcc_checksum":${one._2}}"""
+      emit()
+    }
+
     // Later sections (tiers/probe/final stop) need an OPEN hi session —
     // a lo-level retry leaves the last session stopped.
     if (spark == null || spark.sparkContext.isStopped) spark = session(hi)

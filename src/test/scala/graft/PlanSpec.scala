@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan contracts (the properties that survive a 100x scale-up):
+  * predicate pushdown and column pruning reach the parquet scan, the text
+  * pipeline stays inside whole-stage codegen with no UDFs, and the small
+  * side of the ANN join is broadcast. These assert the SHAPE of the plan,
+  * not timings, so they are stable across machines. */
+class PlanSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  test("filters and projections push down to the parquet scan") {
+    val plan = executedPlan(Queries.iFilter(spark, dir))
+    assert(plan.contains("PushedFilters: ["), "no pushed filters")
+    assert(plan.contains("IsNotNull(c_acctbal)")
+      || plan.contains("GreaterThan(c_acctbal"),
+      s"c_acctbal filter not pushed:\n$plan")
+    // column pruning: untouched wide columns never reach the scan
+    assert(!plan.contains("c_address") && !plan.contains("c_comment"),
+      "scan reads pruned columns")
+  }
+
+  test("text/dedup pipeline is UDF-free and inside whole-stage codegen") {
+    for (q <- Seq(Queries.dQuality(spark, dir),
+        Queries.dTokenCount(spark, dir), Queries.dLangId(spark, dir))) {
+      val plan = executedPlan(q)
+      // executedPlan.toString marks whole-stage codegen spans as "*(n)"
+      assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+        "no codegen span")
+      assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+        "UDF in the hot path")
+    }
+  }
+
+  test("ANN brute-force broadcasts the query side, not the corpus") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    val plan = executedPlan(graft.sim.Ann.bruteForceTopK(emb, q, 10))
+    assert(plan.contains("Broadcast"), s"no broadcast in:\n$plan")
+  }
+
+  test("superstep aggregation is map-side combined (partial + final)") {
+    val g = graphbuild.CoPurchase.graph(spark, dir)
+    val contrib = g.edges
+      .join(g.outDegrees.select(col("vid").as("src"), col("deg")), "src")
+      .groupBy(col("dst")).agg(sum(lit(1.0) / col("deg")).as("m"))
+    val plan = executedPlan(contrib)
+    // two HashAggregate nodes = partial (map-side combine) + final
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation:\n$plan")
+  }
+}

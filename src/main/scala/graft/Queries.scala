@@ -537,6 +537,24 @@ object Queries {
       .select(col("id_a"), col("id_b"),
         round(col("jaccard"), 6).as("jaccard"))
 
+  /** Self-checking n-gram Jaccard contract (gram hashes are
+    * xxhash-dependent, the CONTRACT is not): planting an exact copy of
+    * each of the first 20 docs, the inverted-index join must find every
+    * (original, copy) pair with Jaccard exactly 1.0 — recall and
+    * exactness in one zero-tolerance assertion. Constant-row oracle. */
+  def dNgramCheck(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val planted = docs.where(col("doc_id") < 20)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val pairs = graft.text.Dedup.ngramJaccardPairs(
+      docs.unionByName(planted))
+    pairs
+      .where(col("id_a") < 20 && col("id_b") === col("id_a") + 2000000L)
+      .agg(count(lit(1)).as("n"), min(col("jaccard")).as("mn"))
+      .select(when(col("n") === 20L && col("mn") === 1.0, lit(1L))
+        .otherwise(lit(0L)).as("ok"))
+  }
+
   def dFingerprint(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(col("doc_id"),
       graft.text.TextStats.fingerprint(col("text")).as("fingerprint"))

@@ -84,6 +84,7 @@ object SparkEntry {
     "d_simhash" -> (Queries.dSimhash(_, _)),
     "d_simhash_check" -> (Queries.dSimhashCheck(_, _)),
     "d_ngram_jaccard" -> (Queries.dNgramJaccard(_, _)),
+    "d_ngram_check" -> (Queries.dNgramCheck(_, _)),
     "d_fingerprint" -> (Queries.dFingerprint(_, _)),
     // Similarity search over embeddings
     "e_ann_topk" -> (Queries.eAnnTopk(_, _)),
@@ -158,6 +159,7 @@ object SparkEntry {
     "e_ann_lsh" -> OracleSql.eAnnLshOk,
     "d_minhash_check" -> OracleSql.dMinhashCheck,
     "d_simhash_check" -> OracleSql.dSimhashCheck,
+    "d_ngram_check" -> OracleSql.dNgramCheck,
     "m_image_decode_check" -> OracleSql.mImageDecodeCheck,
     "d_exact_dedup" -> OracleSql.dExactDedup,
     "d_token_count" -> OracleSql.dTokenCount,

@@ -801,6 +801,7 @@ object OracleSql {
   val louvainCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
   val dMinhashCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
   val dSimhashCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
+  val dNgramCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
   val mImageDecodeCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
 
   val iAggs: String =

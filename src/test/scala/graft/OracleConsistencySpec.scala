@@ -54,7 +54,8 @@ class OracleConsistencySpec extends SparkSpec {
     // actually produce ok=1 on the test data), and the pregel TC variant
     // vs the shared wedge-join triangle oracle
     "e_ann_lsh", "g_louvain_check", "g_pregel_tc",
-    "d_minhash_check", "d_simhash_check", "m_image_decode_check")
+    "d_minhash_check", "d_simhash_check", "d_ngram_check",
+    "m_image_decode_check")
   // e_ann_topk's oracle uses DuckDB-only list functions (NOT
   // Spark-parsable) — validated by AnnSpec's in-JVM oracle plus the
   // driver's own DuckDB replay; deliberately absent from layer 1.

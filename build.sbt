@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout BARE: sbt's default logger prefixes
+// every forked stdout line with "[info] " (and routes stderr as
+// "[error] "), which made the driver's bench JSON unparseable for three
+// rounds (BENCH_r01..r03 `parsed: null`). StdoutOutput passes the forked
+// process's stdout/stderr through verbatim.
+run / outputStrategy := Some(StdoutOutput)
+// ...and the trailing "[success] Total time ..." line must not be the last
+// stdout line after the bench's JSON.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -17,11 +17,13 @@ import org.apache.spark.sql.functions._
   * r2 incremental-emission hardening preserved partial numbers but the
   * driver records `parsed: null` unless the process EXITS 0 in-window, so
   * round 3 makes the default path small):
-  *   - DEFAULT: raw per-query timings (single timed pass after JIT warm),
-  *     one scaled-graph write, a 2-level scaling ladder (hi/4 and hi — the
-  *     N vs 4N pair the north rule names; always min-of-2 per level plus
-  *     an implausibility-gated re-measure, see the retry loop below).
-  *     Everything else — the 4-level ladder, raw-query min-of-2,
+  *   - DEFAULT: raw headline timings, one scaled-graph write, a 2-level
+  *     scaling ladder (hi/4 and hi — the N vs 4N pair the north rule
+  *     names; a FIXED symmetric 3 passes per level, first-pass AND
+  *     min-folded efficiencies both reported, steal_suspected flagged when
+  *     the min-folded number is outside [0.65,1.1] — never a
+  *     value-conditioned retry), executor-JVM invariance, then the raw
+  *     per-query extras. Everything else — the 4-level ladder,
   *     strategy-tier comparison, compute-bound MinHash probe — runs only
   *     under SPARK_GRAFT_BENCH_FULL=1;
   *   - a wall-clock budget (SPARK_GRAFT_BENCH_BUDGET seconds, default 500)
@@ -52,13 +54,26 @@ object Bench {
   private def fmt(d: Double, prec: Int = 3): String =
     String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(d))
 
-  /** Ordered top-level JSON fields; emit() prints the full current line. */
+  /** Ordered top-level JSON fields; emit() prints the full current line
+    * AND mirrors it to target/bench.json (+ SPARK_GRAFT_BENCH_OUT if set)
+    * — the driver's parser gets a bare-JSON file even if stdout is
+    * prefixed/truncated by the sbt harness (BENCH_r01..r03 all recorded
+    * `parsed: null` from sbt's "[info] " prefixes; see also build.sbt's
+    * run/outputStrategy fix). */
   private val fields =
     scala.collection.mutable.LinkedHashMap[String, String]()
   private def emit(): Unit = {
-    println(fields.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}"))
+    val line = fields.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(line)
     Console.out.flush()
+    val outs = Seq("target/bench.json") ++
+      sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    outs.foreach { p =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        line + "\n")
+      catch { case _: Throwable => () }
+    }
   }
 
   private val queryTimes =
@@ -198,37 +213,42 @@ object Bench {
     SimpleGraph(verts, edges, directed = false, simpleEdges = true)
   }
 
-  /** (pagerank seconds, wcc seconds, wcc rounds, checksum) on a prepared
-    * graph, after a short JIT warm-up. With repeats=2, each timing is the
-    * min of two passes — the sandbox hypervisor steals CPU in bursts
-    * (observed 2-4x swings on identical code) and the minimum is the
-    * robust estimator; the default single pass keeps the driver window.
+  /** Per-pass PageRank/WCC timings on a prepared graph, after a short JIT
+    * warm-up. ALL `passes` passes run unconditionally and every raw timing
+    * is returned (first element = first pass) — the caller reports both
+    * the first-pass and the min-folded numbers, so the robust estimator
+    * (min: the sandbox hypervisor steals CPU in sustained bursts, observed
+    * 2-4x swings on identical code) never hides the raw measurement.
     * Checksums are vid-WEIGHTED so they discriminate (plain Σrank is the
     * conserved mass 1.0 and plain Σcomp is 0 on a 0-rooted single
     * component — both vacuous), and the PR part is quantized to 1e-6 —
     * the raw double sum differs in final ULPs across partition counts
     * (aggregation order), not a result difference at the comparison
     * tolerance. */
-  private def headline(g: SimpleGraph, repeats: Int)
-      : (Double, Double, Int, Double) = {
+  private final case class Headline(
+      prSecs: Seq[Double], wccSecs: Seq[Double], wccRounds: Int,
+      checksum: Double) {
+    def prMin: Double = prSecs.min
+    def wccMin: Double = wccSecs.min
+  }
+  private def headline(g: SimpleGraph, passes: Int): Headline = {
     PageRank.run(g, 0.85, 2).count() // builds shared caches + JIT warmth
     def prOnce = time {
       PageRank.run(g, 0.85, 10)
         .agg(round(sum(col("rank") * col("vid")) * 1e6, 0))
         .head().getDouble(0)
     }
-    val (prChk, prT1) = prOnce
-    val prT = if (repeats > 1) math.min(prT1, prOnce._2) else prT1
+    val prRuns = Seq.fill(passes)(prOnce)
+    val prChk = prRuns.head._1
     val ((wccDf, wccRounds), wccT1) = time {
       val r = WCC.runWithRounds(g)
       (r._1.localCheckpoint(true), r._2)
     }
-    val wccT = if (repeats > 1)
-      math.min(wccT1, time(WCC.runWithRounds(g)._1.count())._2)
-    else wccT1
+    val wccSecs = wccT1 +: Seq.fill(passes - 1)(
+      time(WCC.runWithRounds(g)._1.count())._2)
     val chk = prChk + wccDf
       .agg(sum((col("comp") + 1L) * col("vid"))).head().getLong(0)
-    (prT, wccT, wccRounds, chk)
+    Headline(prRuns.map(_._2), wccSecs, wccRounds, chk)
   }
 
   /** Compute-bound scaling probe: MinHash signatures (64 hash functions
@@ -290,27 +310,11 @@ object Bench {
         .toString
     }
     safe("headline_raw") {
-      val (prRawT, wccRawT, _, _) =
-        headline(CoPurchase.graph(spark, sfDir), repeats)
-      queryTimes("g_pagerank") = prRawT
-      queryTimes("g_wcc") = wccRawT
+      val h = headline(CoPurchase.graph(spark, sfDir), repeats)
+      queryTimes("g_pagerank") = h.prMin
+      queryTimes("g_wcc") = h.wccMin
       putQueries(); emit()
     }
-    (Seq[(String, (SparkSession, String) => DataFrame)](
-      "g_degree" -> (Queries.degree(_, _)),
-      "i_aggs" -> (Queries.iAggs(_, _)),
-      "d_exact_dedup" -> (Queries.dExactDedup(_, _))
-    ) ++ (if (full) Seq[(String, (SparkSession, String) => DataFrame)](
-      "g_cdlp" -> (Queries.cdlp(_, _)),
-      "g_triangles" -> (Queries.triangles(_, _))) else Nil)
-    ).foreach { case (name, f) =>
-      // raw extras are informational; never let them eat the ladder budget
-      if (budgetLeft(0.4)) safe(name) {
-        val (_, t) = time { f(spark, sfDir).count() }
-        queryTimes(name) = t
-      }
-    }
-    putQueries(); emit()
     val tierPath = new java.io.File(
       s"target/bench-scaled-c${math.max(1, copies / 4)}").getAbsolutePath
     safe("scaled_write") {
@@ -325,8 +329,10 @@ object Bench {
     var cpuEffLoHi = -1.0
     safe("cpu_baseline") {
       cpuBaseline(2, 50000000L) // JIT warm
-      def measure(t: Int) =
-        math.max(cpuBaseline(t), cpuBaseline(t)) // max = least-stolen pass
+      // max of 3 = least-stolen pass (r3 recorded a nonsense 1.511 ceiling
+      // from a lo-level pass that lost BOTH its max-of-2 runs to a
+      // hypervisor steal burst; a third pass makes that far less likely)
+      def measure(t: Int) = Seq.fill(3)(cpuBaseline(t)).max
       val rLo = measure(lo)
       val rHi = measure(hi)
       cpuEffLoHi = (rHi / rLo) / (hi.toDouble / lo)
@@ -348,32 +354,44 @@ object Bench {
       (if (full) Seq(math.max(1, hi / 8), lo, math.max(1, hi / 2), hi)
        else Seq(lo, hi)).distinct
     val ladder =
-      scala.collection.mutable.LinkedHashMap[Int, (Double, Double, Int,
-        Double)]()
+      scala.collection.mutable.LinkedHashMap[Int, Headline]()
 
-    def ladderEps(c: Int): Double = {
-      val (prT, wccT, it, _) = ladder(c)
-      nEdges.toDouble * (10 + it) / (prT + wccT)
+    def ladderEps(c: Int, pr: Headline => Double, wcc: Headline => Double)
+        : Double = {
+      val h = ladder(c)
+      nEdges.toDouble * (10 + h.wccRounds) / (pr(h) + wcc(h))
     }
-    def effNum(a: Int, b: Int): Option[Double] =
+    def epsMin(c: Int): Double = ladderEps(c, _.prMin, _.wccMin)
+    def epsFirst(c: Int): Double =
+      ladderEps(c, _.prSecs.head, _.wccSecs.head)
+    def effNum(a: Int, b: Int, eps: Int => Double = epsMin)
+        : Option[Double] =
       if (ladder.contains(a) && ladder.contains(b))
-        Some((ladderEps(b) / ladderEps(a)) / (b.toDouble / a))
+        Some((eps(b) / eps(a)) / (b.toDouble / a))
       else None
     val ladderMode =
       scala.collection.mutable.LinkedHashMap[Int, String]()
     def emitScaling(): Unit = {
-      val entries = ladder.map { case (c, (prT, wccT, _, _)) =>
-        s""""c$c":{"pr_sec":${fmt(prT, 2)},"wcc_sec":${fmt(wccT, 2)},""" +
-          s""""eps":${ladderEps(c).round},""" +
+      val entries = ladder.map { case (c, h) =>
+        s""""c$c":{"pr_sec":${fmt(h.prMin, 2)},""" +
+          s""""wcc_sec":${fmt(h.wccMin, 2)},""" +
+          s""""pr_secs":[${h.prSecs.map(fmt(_, 2)).mkString(",")}],""" +
+          s""""wcc_secs":[${h.wccSecs.map(fmt(_, 2)).mkString(",")}],""" +
+          s""""eps":${epsMin(c).round},""" +
           s""""mode":"${ladderMode.getOrElse(c, "?")}"}"""
       }.mkString(",")
       // Every completed 4x pair (guarded — r2 hardcoded levels(3) and a
-      // small-cpu run would throw before any output landed).
+      // small-cpu run would throw before any output landed). Both the
+      // min-folded estimate (robust to hypervisor steal bursts) and the
+      // untouched first-pass number are reported — the raw measurement
+      // stays visible next to the estimator.
       val effs = levels.flatMap(a => levels.filter(_ == a * 4).flatMap(
         b => effNum(a, b).map(v =>
-          s""""efficiency_${a}_${b}":${fmt(v)}""")))
-      val resultsMatch = ladder.values.map(r => (r._4, r._3)).toSet
-        .size == 1
+          s""""efficiency_${a}_${b}":${fmt(v)}""").toSeq ++
+          effNum(a, b, epsFirst).map(v =>
+            s""""efficiency_${a}_${b}_first_pass":${fmt(v)}""")))
+      val resultsMatch = ladder.values
+        .map(h => (h.checksum, h.wccRounds)).toSet.size == 1
       // Engine efficiency normalized by the hardware ceiling: what
       // fraction of the box's OWN lo->hi arithmetic scaling the superstep
       // ladder achieves (1.0 = the plan scales as well as pure compute
@@ -383,11 +401,18 @@ object Bench {
         .map(e => s""""efficiency_${lo}_${hi}_vs_cpu_ceiling":""" +
           fmt(e / cpuEffLoHi) + ",")
         .getOrElse("")
+      // Honest noise flag: a lo->hi efficiency outside [0.65, 1.1] is not
+      // a plan property on deterministic identical-input jobs — it means
+      // steal bursts swallowed whole pass sets. Flagged, never re-measured
+      // conditionally (value-conditioned retries bias the estimate).
+      val steal = effNum(lo, hi)
+        .map(e => s""""steal_suspected":${e < 0.65 || e > 1.1},""")
+        .getOrElse("")
       fields("scaling") =
-        (s"""{"edges":$nEdges,"iters":${10 + ladder.head._2._3},""" +
+        (s"""{"edges":$nEdges,"iters":${10 + ladder.head._2.wccRounds},""" +
           s""""levels":{$entries},""" +
           (if (effs.nonEmpty) effs.mkString("", ",", ",") else "") +
-          norm +
+          norm + steal +
           s""""results_match":$resultsMatch}""")
       emit()
     }
@@ -406,8 +431,13 @@ object Bench {
       !sys.env.get("SPARK_GRAFT_EXEC_LADDER").contains("1")
     val execMemMb =
       sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "16384").toInt
-    /** One ladder level: min-of-2 headline, folded (min) into any prior
-      * measurement of the same level. */
+    // Every level runs the SAME fixed number of passes (default 3),
+    // unconditionally and symmetrically — no value-conditioned stopping.
+    val ladderPasses =
+      sys.env.getOrElse("SPARK_GRAFT_LADDER_PASSES", "3").toInt
+    /** One ladder level: `ladderPasses` headline passes; re-runs of the
+      * same level (cluster->thread fallback) append their passes, keeping
+      * the true first pass first. */
     def runLevel(cpus: Int, cluster: Boolean): Unit = {
       val execs = math.max(1, cpus / lo)
       val per = cpus / execs
@@ -418,11 +448,11 @@ object Bench {
       safe(s"scaling_$cpus($mode)") {
         val g = readScaledGraph(spark, scaledPath)
         nEdges = g.edges.count()
-        val r = headline(g, 2)
+        val r = headline(g, ladderPasses)
         g.unload() // free the big cache before the next section
         ladder(cpus) = ladder.get(cpus) match {
-          case Some((p0, w0, _, _)) =>
-            (math.min(p0, r._1), math.min(w0, r._2), r._3, r._4)
+          case Some(p) => Headline(p.prSecs ++ r.prSecs,
+            p.wccSecs ++ r.wccSecs, r.wccRounds, r.checksum)
           case None => r
         }
         ladderMode(cpus) = mode
@@ -448,25 +478,10 @@ object Bench {
           runLevel(cpus, cluster = false)
       }
     }
-    // The sandbox hypervisor steals CPU in sustained bursts (a burst can
-    // swallow BOTH timing passes of one level: observed a nonsense 1.5
-    // efficiency from a slow lo level and 0.19 from a slow hi level on
-    // IDENTICAL code). The jobs are deterministic (results_match), so the
-    // min over repeated runs is the unbiased estimator: while the lo->hi
-    // efficiency looks implausible in either direction and budget remains,
-    // re-measure the level whose per-core throughput is the outlier and
-    // fold in the min.
-    var retries = 0
-    while (retries < 2 && budgetLeft(0.85) &&
-        effNum(lo, hi).exists(e => e < 0.65 || e > 1.1)) {
-      retries += 1
-      val worse = Seq(lo, hi).minBy(c => ladderEps(c) / c)
-      System.err.println(s"[bench] efficiency ${effNum(lo, hi)} outside " +
-        s"[0.65,1.1] — re-measuring c$worse (retry $retries)")
-      if (spark != null) spark.stop()
-      runLevel(worse,
-        cluster = ladderMode.get(worse).exists(_.contains("executors")))
-    }
+    // (r3's value-conditioned retry loop is GONE: re-measuring only while
+    // the efficiency sat outside the accepted band was selective stopping
+    // — it biased the headline toward the plausible window. The fixed
+    // symmetric 3 passes above + the steal_suspected flag replace it.)
     // Multi-executor invariance (the north rule's "two cluster sizes" on
     // REAL separate executor JVMs; reference precedent:
     // python/tests/test_scalability.py:42-56): PageRank+WCC on the raw
@@ -504,9 +519,26 @@ object Bench {
       emit()
     }
 
-    // Later sections (tiers/probe/final stop) need an OPEN hi session —
-    // a lo-level retry leaves the last session stopped.
+    // Later sections (raw extras/tiers/probe/final stop) need an OPEN hi
+    // session — the invariance section leaves the last session stopped.
     if (spark == null || spark.sparkContext.isStopped) spark = session(hi)
+    // Raw per-query extras — AFTER the north-rule ladder, so they can
+    // never eat its budget. cdlp/triangles are back in the default set
+    // (demoted to FULL in r3) so the two most shuffle-intensive
+    // non-iterative queries are tracked round-over-round again.
+    Seq[(String, (SparkSession, String) => DataFrame)](
+      "g_degree" -> (Queries.degree(_, _)),
+      "i_aggs" -> (Queries.iAggs(_, _)),
+      "d_exact_dedup" -> (Queries.dExactDedup(_, _)),
+      "g_cdlp" -> (Queries.cdlp(_, _)),
+      "g_triangles" -> (Queries.triangles(_, _))
+    ).foreach { case (name, f) =>
+      if (budgetLeft(0.95)) safe(name) {
+        val (_, t) = time { f(spark, sfDir).count() }
+        queryTimes(name) = t
+        putQueries(); emit()
+      }
+    }
     // Strategy-tier comparison (Strategy.Broadcast / Shuffle / CsrGather)
     // on one quarter-size scaled graph: the same 3 PageRank rounds under
     // each forced tier. Broadcast wins while the vertex state fits an

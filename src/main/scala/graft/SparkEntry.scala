@@ -49,6 +49,7 @@ object SparkEntry {
     "g_lpa_u2i" -> (Queries.lpaU2I(_, _)),
     "g_sampling_path" -> (Queries.samplingPath(_, _)),
     "g_dfs" -> (Queries.dfs(_, _)),
+    "g_dfs_check" -> (Queries.dfsCheck(_, _)),
     "g_louvain_check" -> (Queries.louvainCheck(_, _)),
     // Interactive operator surface (§2.4)
     "i_filter" -> (Queries.iFilter(_, _)),
@@ -86,15 +87,19 @@ object SparkEntry {
     "d_ngram_jaccard" -> (Queries.dNgramJaccard(_, _)),
     "d_ngram_check" -> (Queries.dNgramCheck(_, _)),
     "d_fingerprint" -> (Queries.dFingerprint(_, _)),
+    "d_fingerprint_check" -> (Queries.dFingerprintCheck(_, _)),
     // Similarity search over embeddings
     "e_ann_topk" -> (Queries.eAnnTopk(_, _)),
     "e_ann_lsh" -> (Queries.eAnnLsh(_, _)),
     "e_cos_neardup" -> (Queries.eCosNearDup(_, _)),
-    // Multimodal binary-column plumbing (real imageio decode for images;
-    // stubbed audio/video codecs)
+    // Multimodal binary-column plumbing (ALL real pure-JVM decodes:
+    // imageio for images, javax.sound.sampled WAV for audio, RIFF/AVI +
+    // per-frame JPEG for video)
     "m_media_features" -> (Queries.mMediaFeatures(_, _)),
     "m_frame_sample" -> (Queries.mFrameSample(_, _)),
     "m_image_decode_check" -> (Queries.mImageDecodeCheck(_, _)),
+    "m_audio_decode_check" -> (Queries.mAudioDecodeCheck(_, _)),
+    "m_video_decode_check" -> (Queries.mVideoDecodeCheck(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -131,6 +136,10 @@ object SparkEntry {
     "g_lpa_u2i" -> OracleSql.lpaU2I(),
     "g_sampling_path" -> OracleSql.samplingPath,
     "g_louvain_check" -> OracleSql.louvainCheck,
+    "g_dfs_check" -> OracleSql.gDfsCheck,
+    "d_fingerprint_check" -> OracleSql.dFingerprintCheck,
+    "m_audio_decode_check" -> OracleSql.mAudioDecodeCheck,
+    "m_video_decode_check" -> OracleSql.mVideoDecodeCheck,
     "g_pregel_pagerank" -> OracleSql.pregelPagerank(),
     // aggregator-based full PageRank == the reference recurrence
     "g_pregel_pagerank_agg" -> OracleSql.pagerank(),

@@ -38,8 +38,9 @@ object Verify {
     "i_aggs", "i_math", "i_fold_unfold", "i_sample", "i_estimate_count",
     "i_predicates", "i_case_when",
     "d_exact_dedup", "d_token_count", "d_quality", "d_langid",
-    "d_fingerprint", "d_simhash", "d_simhash_check",
+    "d_fingerprint", "d_fingerprint_check", "d_simhash", "d_simhash_check",
     "m_frame_sample", "m_media_features", "m_image_decode_check",
+    "m_audio_decode_check", "m_video_decode_check",
     // small joins / bucketed similarity
     "e_ann_topk", "e_ann_lsh", "e_cos_neardup",
     "d_ngram_jaccard", "d_ngram_check", "d_minhash_pairs",
@@ -49,7 +50,7 @@ object Verify {
     "g_bfs_parents", "g_wcc", "g_pagerank", "g_pregel_pagerank",
     "g_pregel_pagerank_agg", "g_pregel_sssp", "g_pregel_tc",
     "g_sampling_path", "g_lpa_u2i", "g_sssp", "g_sssp_has_path",
-    "g_sssp_path", "g_dfs",
+    "g_sssp_path", "g_dfs", "g_dfs_check",
     "g_triangles", "g_clustering", "g_transitivity", "g_avg_clustering",
     "g_cdlp", "g_kcore", "g_kshell",
     "g_hits", "g_eigenvector", "g_katz",

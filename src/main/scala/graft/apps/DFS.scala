@@ -29,22 +29,44 @@ import org.apache.spark.sql.functions._
   */
 object DFS {
 
-  def run(g: SimpleGraph, source: Long,
-      maxEdges: Long = 50L * 1000 * 1000): DataFrame = {
+  /** Default edge guard sized from the ACTUAL driver heap, not a fixed
+    * constant: the collected adjacency costs ~16 bytes/edge (one Long in a
+    * neighbor array + amortized per-source row overhead), and the walk's
+    * rank/parent maps cost ~32 bytes/vertex more — budgeting 64 bytes of
+    * headroom per edge keeps the collect comfortably under maxMemory even
+    * on drivers far smaller than the 24g default (r3 advice: the old flat
+    * 50M-edge guard could pass while the collect itself OOMed). */
+  def defaultMaxEdges: Long =
+    math.min(50L * 1000 * 1000, Runtime.getRuntime.maxMemory / 64)
+
+  def run(g: SimpleGraph, source: Long, maxEdges: Long = 0L): DataFrame = {
     val spark = g.spark
     import spark.implicits._
+    val guard = if (maxEdges > 0) maxEdges else defaultMaxEdges
     val ne = g.numEdges
-    require(ne <= maxEdges,
+    require(ne <= guard,
       s"DFS is a serial preorder walk (reference dfs.h token passing); " +
-        s"$ne edges exceeds the driver guard of $maxEdges")
+        s"$ne edges exceeds the driver guard of $guard")
 
-    // Collected CSR with ascending-vid neighbor order.
-    val adj = g.edges.select(col("src"), col("dst"))
+    // Collected CSR with ascending-vid neighbor order: sorted primitive
+    // source array + parallel jagged neighbor array, looked up by binary
+    // search — no boxed Map[Long, Array[Long]] (whose per-entry box +
+    // hash-node overhead was several GB at the guard limit).
+    val rows = g.edges.select(col("src"), col("dst"))
       .groupBy("src").agg(sort_array(collect_set(col("dst"))).as("nbrs"))
-      .as[(Long, Array[Long])].collect().toMap
+      .as[(Long, Array[Long])].collect()
+      .sortBy(_._1)
+    val srcs: Array[Long] = rows.map(_._1)
+    val adj: Array[Array[Long]] = rows.map(_._2)
+    val empty = Array.empty[Long]
+    def nbrsOf(v: Long): Array[Long] = {
+      val i = java.util.Arrays.binarySearch(srcs, v)
+      if (i >= 0) adj(i) else empty
+    }
 
-    val rank = scala.collection.mutable.Map[Long, Long]()
-    val parent = scala.collection.mutable.Map[Long, Long]()
+    // Primitive-keyed maps (LongMap: open-addressed, no per-entry boxes).
+    val rank = scala.collection.mutable.LongMap.empty[Long]
+    val parent = scala.collection.mutable.LongMap.empty[Long]
     // Explicit stack of (vertex, next-neighbor index) — the iterative form
     // of the token walk; recursion would overflow on long paths.
     val stack = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
@@ -53,7 +75,7 @@ object DFS {
     stack += ((source, 0))
     while (stack.nonEmpty) {
       val (v, i) = stack.last
-      val nbrs = adj.getOrElse(v, Array.empty[Long])
+      val nbrs = nbrsOf(v)
       if (i >= nbrs.length) stack.remove(stack.length - 1)
       else {
         stack(stack.length - 1) = (v, i + 1)

@@ -107,6 +107,13 @@ object Louvain {
 
     var assign = k.select(col("vid"), col("vid").as("comm"), col("k"))
       .localCheckpoint(true)
+    // commTot is one row per community (≤ one per vertex, shrinking every
+    // round) — on the giant-community tail of phase 1 the scored join
+    // keyed by community id concentrates on few keys, so broadcast the
+    // community-totals side whenever the working graph is small enough
+    // (same tier threshold as the superstep apps); past that size the
+    // sort-merge join with AQE-less fixed shape is the scale-safe default.
+    val hintCommTot = graft.graph.Strategy.smallEnoughToBroadcast(k.count())
     var round = 0
     // Moves are parity-gated (odd rounds move only to smaller comm ids,
     // even only to larger), so one zero-move round only proves the ALLOWED
@@ -140,7 +147,10 @@ object Louvain {
         .where(col("c") === col("cur") ||
           (if (parity == 1) col("c") < col("cur")
            else col("c") > col("cur")))
-        .join(commTot.select(col("comm").as("c"), col("tot")), "c")
+        .join({
+          val ct = commTot.select(col("comm").as("c"), col("tot"))
+          if (hintCommTot) broadcast(ct) else ct
+        }, "c")
         .select(col("vid"), col("c"), col("cur"), col("k"),
           (col("wvc") - col("k") *
             (col("tot") - when(col("c") === col("cur"), col("k"))

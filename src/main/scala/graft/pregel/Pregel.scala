@@ -82,8 +82,17 @@ object Pregel {
             val exprs = aggregators.toSeq.map { case (n, a) =>
               a.combine(a.contribute).as(n) }
             val row = state.agg(exprs.head, exprs.tail: _*).head()
-            aggregators.keys.map(n =>
-              n -> lit(row.get(row.fieldIndex(n)))).toMap
+            aggregators.keys.map { n =>
+              val v = row.get(row.fieldIndex(n))
+              // lit(null) is an UNTYPED null that would silently
+              // propagate through updateWithAggregators (all states
+              // become null); fail loudly instead — the program should
+              // coalesce its contribution to a typed identity.
+              require(v != null, s"pregel aggregator '$n' combined to " +
+                "NULL (empty state or all-null contributions); coalesce " +
+                "the contribution expression to a typed identity value")
+              n -> lit(v)
+            }.toMap
           }
         val toDst = sendToDst.map { m =>
           edges

@@ -21,13 +21,20 @@ object TextStats {
       t => t =!= "")).cast("long")
 
   /** Quality features: char count, token count, mean token length,
-    * punctuation ratio, stopword ratio, uppercase ratio. */
+    * punctuation ratio, stopword ratio, uppercase ratio. Char-class
+    * counts use `translate` (not regexp_replace) so the identical
+    * formula replays in ANSI SQL engines whose regexp_replace is
+    * first-match-only (DuckDB needs a 'g' flag Spark doesn't parse).
+    * This is THE quality implementation — the driver catalog entry
+    * (Queries.dQuality) and its DuckDB oracle both mirror it. */
+  private val punctChars = ".,!?;:"
+  private val upperChars = ('A' to 'Z').mkString
   def qualityFeatures(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val toks = tokenCount(t)
-    val punct = length(t) - length(regexp_replace(t, "[.,!?;:]", ""))
-    val upper = length(t) - length(regexp_replace(t, "[A-Z]", ""))
+    val punct = length(t) - length(translate(t, punctChars, ""))
+    val upper = length(t) - length(translate(t, upperChars, ""))
     val stop = (length(t) - length(replace(t, lit(" the "), lit("")))) / 5 +
       (length(t) - length(replace(t, lit(" a "), lit("")))) / 3
     docs.select(col(idCol),

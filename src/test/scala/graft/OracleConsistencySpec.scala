@@ -55,7 +55,9 @@ class OracleConsistencySpec extends SparkSpec {
     // vs the shared wedge-join triangle oracle
     "e_ann_lsh", "g_louvain_check", "g_pregel_tc",
     "d_minhash_check", "d_simhash_check", "d_ngram_check",
-    "m_image_decode_check")
+    "d_fingerprint_check", "g_dfs_check",
+    "m_image_decode_check", "m_audio_decode_check",
+    "m_video_decode_check")
   // e_ann_topk's oracle uses DuckDB-only list functions (NOT
   // Spark-parsable) — validated by AnnSpec's in-JVM oracle plus the
   // driver's own DuckDB replay; deliberately absent from layer 1.

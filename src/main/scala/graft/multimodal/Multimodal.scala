@@ -219,7 +219,7 @@ object Multimodal {
           val listType = fourcc(b, p + 8)
           if (listType == "hdrl") {
             // avih is the first sub-chunk of hdrl
-            if (p + 12 + 8 <= b.length && fourcc(b, p + 12) == "avih")
+            if (p + 12 + 8 + 4 <= b.length && fourcc(b, p + 12) == "avih")
               usPerFrame = rdLe32(b, p + 12 + 8)
           } else if (listType == "movi") {
             var q = p + 12

@@ -107,13 +107,35 @@ object Louvain {
 
     var assign = k.select(col("vid"), col("vid").as("comm"), col("k"))
       .localCheckpoint(true)
+    val spark = edges.sparkSession
+    val nNodes = k.count()
+    val tier = graft.graph.Strategy.tier(nNodes)
     // commTot is one row per community (≤ one per vertex, shrinking every
     // round) — on the giant-community tail of phase 1 the scored join
     // keyed by community id concentrates on few keys, so broadcast the
     // community-totals side whenever the working graph is small enough
     // (same tier threshold as the superstep apps); past that size the
     // sort-merge join with AQE-less fixed shape is the scale-safe default.
-    val hintCommTot = graft.graph.Strategy.smallEnoughToBroadcast(k.count())
+    val hintCommTot = tier == graft.graph.Strategy.Broadcast
+    // CSR tier (10^9+ working-graph vertices — i.e. level 0 of the full
+    // link graph): the per-round edges ⋈ assign join re-sorts and moves
+    // the weighted edge relation every move round; pack it once into
+    // weighted CSR blocks instead and gather neighbor-community weight
+    // sums with only (vid, comm) bundles and (vid, comm, w) partials on
+    // the wire. Tier equality is EXACT, not approximate: Louvain weights
+    // stay integral through contraction, so per-block partial sums hit
+    // the same integer-valued doubles in any addition order (within
+    // 2^53) and the move argmax is unchanged (LouvainSpec forces the
+    // tier and asserts identical assignments).
+    val useCsr = tier == graft.graph.Strategy.CsrGather
+    val p = spark.sessionState.conf.numShufflePartitions
+    val wBlocks = if (useCsr) {
+      val b = graft.graph.EdgeBlocks.buildWeighted(
+        edges.select(col("src"), col("dst"), col("w").as("weight")), p)
+        .persist()
+      b.count() // materialize once; rounds reuse the cached blocks
+      b
+    } else null
     var round = 0
     // Moves are parity-gated (odd rounds move only to smaller comm ids,
     // even only to larger), so one zero-move round only proves the ALLOWED
@@ -124,12 +146,20 @@ object Louvain {
     while (zeroStreak < 2 && round < maxRounds) {
       round += 1
       val commTot = assign.groupBy("comm").agg(sum(col("k")).as("tot"))
-      // w(v -> c) over real neighbor edges.
-      val nbrW = edges
-        .join(assign.select(col("vid").as("dst"), col("comm").as("c")),
-          "dst")
-        .groupBy(col("src").as("vid"), col("c"))
-        .agg(sum(col("w")).as("wvc"))
+      // w(v -> c) over real neighbor edges. The edges are symmetric, so
+      // gathering src-labels to dst over the blocks equals gathering
+      // dst-labels to src — the same relation the join path builds.
+      val nbrW =
+        if (useCsr)
+          graft.graph.EdgeBlocks.gatherLabelSum(wBlocks,
+            assign.select(col("vid"), col("comm").as("label")), p)
+            .select(col("vid"), col("label").as("c"),
+              col("sum_w").as("wvc"))
+        else edges
+          .join(assign.select(col("vid").as("dst"), col("comm").as("c")),
+            "dst")
+          .groupBy(col("src").as("vid"), col("c"))
+          .agg(sum(col("w")).as("wvc"))
       // Ensure the current community is always a candidate (wvc = 0 when
       // v has no neighbor inside it).
       val cands = nbrW
@@ -178,6 +208,7 @@ object Louvain {
       prevCk = next
       assign = next.drop("_moved")
     }
+    if (wBlocks != null) wBlocks.unpersist()
     assign.select("vid", "comm")
   }
 

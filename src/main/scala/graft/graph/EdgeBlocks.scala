@@ -362,6 +362,75 @@ object EdgeBlocks {
       .agg(flatten(collect_list(col("partial"))).as("values"))
   }
 
+  final case class LabelPartial(vid: Long, label: Long, partial: Double)
+
+  /** gather-label-sum over a LONG-labeled state on WEIGHTED blocks (the
+    * Louvain neighbor-community-weight shape): for every dst with at
+    * least one contributing src, the per-(dst, label(src)) sum of edge
+    * weights. On a SYMMETRIC edge relation this equals
+    * w(v -> c) = Σ weights from v to neighbors labeled c — the quantity
+    * Louvain's move scoring needs — with the same two-small-shuffles
+    * structure as gatherSum: one groupBy(pid) of the (vid, label) state
+    * and one groupBy(vid, label) of per-block partials; the weighted
+    * edge relation never moves or re-sorts per round. Per-dst label
+    * sums accumulate in primitive-keyed LongMaps (no tuple boxing in
+    * the |E| loop). */
+  def gatherLabelSum(blocks: Dataset[WeightedEdgeBlock], state: DataFrame,
+      p: Int): DataFrame = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    val bundles = state
+      .select(pidOf(col("vid"), p).as("pid"),
+        col("vid"), col("label").cast("long").as("value"))
+      .groupBy("pid")
+      .agg(collect_list(struct(col("vid"), col("value"))).as("vals"))
+    blocks.toDF()
+      .join(bundles, "pid")
+      .as[(Int, Array[Long], Array[Int], Array[Int], Array[Long],
+        Array[Double], Array[VertexLongValue])]
+      .mapPartitions { it =>
+        it.flatMap { case (_, srcs, offs, idx, uniq, ws, vals) =>
+          val sorted = vals.sortBy(_.vid)
+          val acc = Array.fill(uniq.length)(null: mutable.LongMap[Double])
+          var si = 0
+          var vi = 0
+          while (si < srcs.length && vi < sorted.length) {
+            val s = srcs(si)
+            val v = sorted(vi).vid
+            if (s < v) si += 1
+            else if (s > v) vi += 1
+            else {
+              // labels are one row per vid (an assignment); skip any
+              // duplicate-vid run defensively, keeping the first
+              val label = sorted(vi).value
+              vi += 1
+              while (vi < sorted.length && sorted(vi).vid == s) vi += 1
+              var j = offs(si)
+              val end = offs(si + 1)
+              while (j < end) {
+                val k = idx(j)
+                if (acc(k) == null) acc(k) = mutable.LongMap.empty[Double]
+                val m = acc(k)
+                m.update(label, m.getOrElse(label, 0.0) + ws(j))
+                j += 1
+              }
+              si += 1
+            }
+          }
+          val out = mutable.ArrayBuffer[LabelPartial]()
+          var k = 0
+          while (k < uniq.length) {
+            if (acc(k) != null)
+              acc(k).foreach { case (l, w) =>
+                out += LabelPartial(uniq(k), l, w) }
+            k += 1
+          }
+          out.iterator
+        }
+      }
+      .groupBy("vid", "label").agg(sum(col("partial")).as("sum_w"))
+  }
+
   /** gather-min over a LONG-valued vertex state (the WCC/label shape):
     * for every dst with at least one contributing src, the minimum src
     * value. Same two-small-shuffles structure as gatherSum. */

@@ -66,6 +66,19 @@ class LouvainSpec extends SparkSpec {
     assert(a == b, "partitioning changed the Louvain result")
   }
 
+  test("forced CSR gather tier produces the identical assignment " +
+      "(weighted blocks + gatherLabelSum vs the per-round join)") {
+    val pairs = clique(1L to 6L) ++ clique(21L to 26L) ++
+      clique(41L to 46L) ++ Seq((6L, 21L), (26L, 41L), (46L, 1L))
+    val g = graphOf(pairs)
+    val base = asMap(Louvain.run(g))
+    sys.props("graft.force.csr") = "true"
+    try {
+      val csr = asMap(Louvain.run(g))
+      assert(csr == base, "CSR tier changed the Louvain result")
+    } finally sys.props.remove("graft.force.csr")
+  }
+
   test("co-purchase sf0.001: deterministic, covers all vertices, " +
       "positive modularity") {
     // capped like the catalog entry — full defaults take ~10 min here and

@@ -1,0 +1,142 @@
+package graft
+
+import graft.graph.EdgeBlocks
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Randomized equivalence oracles for the CSR block gathers: every gather
+  * must produce exactly the rows of its plain join + groupBy formulation
+  * on arbitrary (multi-)graphs, arbitrary partial states, duplicate state
+  * vids, and any block count. These are the kernels the 10^9+-vertex tier
+  * of every superstep app (PageRank/WCC/BFS/SSSP/KShell/Louvain) rides on,
+  * so they get direct generative coverage, not just app-level spot checks.
+  */
+class EdgeBlocksSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def randomEdges(rng: Random, nV: Int, nE: Int): DataFrame =
+    (0 until nE).map { _ =>
+      val s = rng.nextInt(nV).toLong
+      var d = rng.nextInt(nV).toLong
+      if (d == s) d = (s + 1) % nV // no self loops, like the apps' graphs
+      (s, d, (1 + rng.nextInt(9)).toDouble)
+    }.toDF("src", "dst", "weight").repartition(5)
+
+  /** State over a random subset of vids; optionally with duplicate vids
+    * (the gathers document fold semantics for those). */
+  private def randomState(rng: Random, nV: Int, dups: Boolean): DataFrame = {
+    val base = (0 until nV).filter(_ => rng.nextBoolean()).map { v =>
+      (v.toLong, rng.nextInt(100).toLong)
+    }
+    val rows = if (dups) base ++ base.take(base.size / 3) else base
+    rng.shuffle(rows).toDF("vid", "value").repartition(3)
+  }
+
+  private val trials = Seq(
+    // (seed, nV, nE, p, dup-state-vids)
+    (1L, 30, 120, 4, false),
+    (2L, 50, 300, 7, false),
+    (3L, 12, 40, 3, true),
+    (4L, 60, 1, 4, false), // single edge
+    (5L, 40, 200, 1, false) // everything in one block
+  )
+
+  test("gatherSum == join + groupBy(dst).sum on random graphs") {
+    for ((seed, nV, nE, p, dups) <- trials) {
+      val rng = new Random(seed)
+      val edges = randomEdges(rng, nV, nE)
+      val state = randomState(rng, nV, dups)
+      val blocks = EdgeBlocks.build(edges.select("src", "dst"), p)
+      val got = EdgeBlocks.gatherSum(blocks, state, p)
+      val want = edges
+        .join(state.select(col("vid").as("src"),
+          col("value").cast("double").as("value")), "src")
+        .groupBy(col("dst").as("vid"))
+        .agg(sum(col("value")).as("sum_value"))
+      assertSameRows(got, want, s"gatherSum seed=$seed")
+    }
+  }
+
+  test("gatherMin == join + groupBy(dst).min on random graphs") {
+    for ((seed, nV, nE, p, dups) <- trials) {
+      val rng = new Random(seed)
+      val edges = randomEdges(rng, nV, nE)
+      val state = randomState(rng, nV, dups)
+      val blocks = EdgeBlocks.build(edges.select("src", "dst"), p)
+      val got = EdgeBlocks.gatherMin(blocks, state, p)
+      val want = edges
+        .join(state.select(col("vid").as("src"), col("value")), "src")
+        .groupBy(col("dst").as("vid"))
+        .agg(min(col("value")).as("min_value"))
+      assertSameRows(got, want, s"gatherMin seed=$seed")
+    }
+  }
+
+  test("gatherMinPlus == join + groupBy(dst).min(value + w) on random " +
+      "weighted graphs") {
+    for ((seed, nV, nE, p, dups) <- trials) {
+      val rng = new Random(seed)
+      val edges = randomEdges(rng, nV, nE)
+      val state = randomState(rng, nV, dups)
+      val blocks = EdgeBlocks.buildWeighted(edges, p)
+      val got = EdgeBlocks.gatherMinPlus(blocks, state, p)
+      val want = edges
+        .join(state.select(col("vid").as("src"),
+          col("value").cast("double").as("value")), "src")
+        .groupBy(col("dst").as("vid"))
+        .agg(min(col("value") + col("weight")).as("min_value"))
+      assertSameRows(got, want, s"gatherMinPlus seed=$seed")
+    }
+  }
+
+  test("gatherLabelSum == join + groupBy(dst, label(src)).sum(w) on " +
+      "random weighted graphs") {
+    for ((seed, nV, nE, p, _) <- trials) {
+      val rng = new Random(seed)
+      val edges = randomEdges(rng, nV, nE)
+      // labels are an assignment: one row per vid (Louvain's shape)
+      val state = randomState(rng, nV, dups = false)
+        .withColumnRenamed("value", "label")
+      val blocks = EdgeBlocks.buildWeighted(edges, p)
+      val got = EdgeBlocks.gatherLabelSum(blocks, state, p)
+      val want = edges
+        .join(state.select(col("vid").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("vid"), col("label"))
+        .agg(sum(col("weight")).as("sum_w"))
+      assertSameRows(got, want, s"gatherLabelSum seed=$seed")
+    }
+  }
+
+  test("gatherCollect == join + collect_list (order-insensitive) on " +
+      "random graphs") {
+    for ((seed, nV, nE, p, dups) <- trials) {
+      val rng = new Random(seed)
+      val edges = randomEdges(rng, nV, nE)
+      val state = randomState(rng, nV, dups)
+      val blocks = EdgeBlocks.build(edges.select("src", "dst"), p)
+      val got = EdgeBlocks.gatherCollect(blocks, state, p)
+        .select(col("vid"), sort_array(col("values")).as("values"))
+      val want = edges
+        .join(state.select(col("vid").as("src"), col("value")), "src")
+        .groupBy(col("dst").as("vid"))
+        .agg(sort_array(collect_list(col("value"))).as("values"))
+      val g = got.as[(Long, Seq[Long])].collect().toMap
+      val w = want.as[(Long, Seq[Long])].collect().toMap
+      assert(g == w, s"gatherCollect seed=$seed: ${g.size} vs ${w.size}")
+    }
+  }
+
+  test("empty state and disjoint state both gather to zero rows") {
+    val rng = new Random(9L)
+    val edges = randomEdges(rng, 20, 60)
+    val blocks = EdgeBlocks.build(edges.select("src", "dst"), 4)
+    val empty = Seq.empty[(Long, Long)].toDF("vid", "value")
+    assert(EdgeBlocks.gatherSum(blocks, empty, 4).count() == 0L)
+    // vids outside the graph's vertex range contribute nothing
+    val disjoint = Seq((1000L, 5L), (2000L, 7L)).toDF("vid", "value")
+    assert(EdgeBlocks.gatherMin(blocks, disjoint, 4).count() == 0L)
+  }
+}

@@ -682,8 +682,12 @@ object Queries {
     * known rows to hash. */
   def eCosNearDup(spark: SparkSession, dir: String): DataFrame = {
     val base = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    // Planted ids start past max(vec_id) — a fixed offset would collide
+    // with real ids at a large enough scale factor (see dSimhashCheck).
+    // The oracle SQL derives the same offset from the same max().
+    val off = base.agg(max(col("vec_id"))).head().getLong(0) + 1L
     val planted = base.where(col("vec_id") < 50).select(
-      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      (col("vec_id") + lit(off)).as("vec_id"),
       transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
     graft.sim.Ann.cosineNearDupPairs(base.unionByName(planted),
       threshold = 0.95)

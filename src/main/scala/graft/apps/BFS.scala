@@ -30,7 +30,7 @@ object BFS {
     val bcast = tier == Strategy.Broadcast
     lazy val edges = g.preparedEdges("dir", g.edges.select("src", "dst"),
       if (bcast) "dst" else "src", p)
-    lazy val blocks =
+    lazy val csr =
       g.preparedBlocks("csr", g.edges.select("src", "dst"), p)
 
     // state: (vid, depth [-1 = unreached], _changed = in current frontier)
@@ -49,9 +49,9 @@ object BFS {
           if (tier == Strategy.CsrGather)
             // gatherMin over a constant-1 state = "dsts with at least one
             // frontier in-neighbor" — the edge blocks never move
-            graft.graph.EdgeBlocks.gatherMin(blocks,
+            graft.graph.EdgeBlocks.gatherMin(csr.blocks,
               frontier.select(col("src").as("vid"), lit(1L).as("value")),
-              p).select(col("vid"))
+              p, csr.salts).select(col("vid"))
           else edges.join(Strategy.state(frontier, bcast), "src")
             .select(col("dst").as("vid")).distinct()
         state.join(reached.withColumn("hit", lit(1)), Seq("vid"), "left")

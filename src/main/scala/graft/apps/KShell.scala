@@ -39,7 +39,7 @@ object KShell {
     val undTag = if (g.simpleEdges && !g.directed) "dir" else "und"
     lazy val edges = g.preparedEdges(undTag, g.undirectedDedup,
       if (bcast) "dst" else "src", p)
-    lazy val blocks = g.preparedBlocks(s"csr-$undTag", g.undirectedDedup, p)
+    lazy val csr = g.preparedBlocks(s"csr-$undTag", g.undirectedDedup, p)
 
     val init = g.undirectedDegrees
       .select(col("vid"), col("deg").cast("long").as("core"))
@@ -57,8 +57,9 @@ object KShell {
       step = (state, _) => {
         val nbrEst =
           if (tier == Strategy.CsrGather)
-            graft.graph.EdgeBlocks.gatherCollect(blocks,
-              state.select(col("vid"), col("core").as("value")), p)
+            graft.graph.EdgeBlocks.gatherCollect(csr.blocks,
+              state.select(col("vid"), col("core").as("value")), p,
+              csr.salts)
               .select(col("vid"), col("values").as("ests"))
           else edges
             .join(Strategy.state(

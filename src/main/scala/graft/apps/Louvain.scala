@@ -129,13 +129,16 @@ object Louvain {
     // tier and asserts identical assignments).
     val useCsr = tier == graft.graph.Strategy.CsrGather
     val p = spark.sessionState.conf.numShufflePartitions
-    val wBlocks = if (useCsr) {
-      val b = graft.graph.EdgeBlocks.buildWeighted(
-        edges.select(col("src"), col("dst"), col("w").as("weight")), p)
-        .persist()
+    val (wBlocks, wSalts) = if (useCsr) {
+      val e = edges.select(col("src"), col("dst"), col("w").as("weight"))
+      // Giant-community hubs are exactly the skew Louvain concentrates as
+      // phase 1 progresses — salt high-degree srcs like every CSR build.
+      val salts = graft.graph.EdgeBlocks.hubSalts(
+        e, graft.graph.EdgeBlocks.saltThreshold, p)
+      val b = graft.graph.EdgeBlocks.buildWeighted(e, p, salts).persist()
       b.count() // materialize once; rounds reuse the cached blocks
-      b
-    } else null
+      (b, salts)
+    } else (null, None)
     var round = 0
     // Moves are parity-gated (odd rounds move only to smaller comm ids,
     // even only to larger), so one zero-move round only proves the ALLOWED
@@ -152,7 +155,7 @@ object Louvain {
       val nbrW =
         if (useCsr)
           graft.graph.EdgeBlocks.gatherLabelSum(wBlocks,
-            assign.select(col("vid"), col("comm").as("label")), p)
+            assign.select(col("vid"), col("comm").as("label")), p, wSalts)
             .select(col("vid"), col("label").as("c"),
               col("sum_w").as("wvc"))
         else edges
@@ -209,6 +212,7 @@ object Louvain {
       assign = next.drop("_moved")
     }
     if (wBlocks != null) wBlocks.unpersist()
+    wSalts.foreach(_.unpersist())
     assign.select("vid", "comm")
   }
 

@@ -50,7 +50,7 @@ object PageRank {
     // per round ships only P state bundles (EdgeBlocks.gatherSum).
     lazy val edges = g.preparedEdges("dir", g.edges.select("src", "dst"),
       if (bcast) "dst" else "src", p)
-    lazy val blocks =
+    lazy val csr =
       g.preparedBlocks("csr", g.edges.select("src", "dst"), p)
     val degrees = g.preparedOutDegrees(p) // cached (vid, deg)
     val danglingVnum =
@@ -75,8 +75,9 @@ object PageRank {
           .select(col("vid").as("src"), (col("rank") / col("deg")).as("c"))
         val msgs =
           if (tier == Strategy.CsrGather)
-            graft.graph.EdgeBlocks.gatherSum(blocks,
-              contrib.select(col("src").as("vid"), col("c").as("value")), p)
+            graft.graph.EdgeBlocks.gatherSum(csr.blocks,
+              contrib.select(col("src").as("vid"), col("c").as("value")),
+              p, csr.salts)
               .select(col("vid"), col("sum_value").as("msum"))
           else
             edges.join(Strategy.state(contrib, bcast), "src")

@@ -33,7 +33,7 @@ object SSSP {
     lazy val edges = g.preparedEdges("dirw",
       g.edges.select("src", "dst", "weight"),
       if (bcast) "dst" else "src", p)
-    lazy val blocks = g.preparedWeightedBlocks("csrw",
+    lazy val csr = g.preparedWeightedBlocks("csrw",
       g.edges.select("src", "dst", "weight"), p)
 
     val inf = Double.MaxValue
@@ -50,9 +50,9 @@ object SSSP {
           .select(col("vid").as("src"), col("dist"))
         val relax =
           if (tier == Strategy.CsrGather)
-            graft.graph.EdgeBlocks.gatherMinPlus(blocks,
+            graft.graph.EdgeBlocks.gatherMinPlus(csr.blocks,
               frontier.select(col("src").as("vid"),
-                col("dist").as("value")), p)
+                col("dist").as("value")), p, csr.salts)
               .select(col("vid"), col("min_value").as("nd"))
           else edges.join(Strategy.state(frontier, bcast), "src")
             .groupBy(col("dst").as("vid"))

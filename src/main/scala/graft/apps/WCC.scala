@@ -46,7 +46,7 @@ object WCC {
     val undTag = if (g.simpleEdges && !g.directed) "dir" else "und"
     lazy val edges = g.preparedEdges(undTag, g.undirectedDedup,
       if (bcast) "dst" else "src", p)
-    lazy val blocks =
+    lazy val csr =
       g.preparedBlocks(s"csr-$undTag", g.undirectedDedup, p)
 
     // state: (vid, comp, _changed); round 0 = PEval: everyone "changed".
@@ -61,9 +61,9 @@ object WCC {
           .select(col("vid").as("src"), col("comp"))
         val msgs =
           if (tier == Strategy.CsrGather)
-            graft.graph.EdgeBlocks.gatherMin(blocks,
+            graft.graph.EdgeBlocks.gatherMin(csr.blocks,
               frontier.select(col("src").as("vid"),
-                col("comp").as("value")), p)
+                col("comp").as("value")), p, csr.salts)
               .select(col("vid"), col("min_value").as("mc"))
           else
             edges.join(Strategy.state(frontier, bcast), "src")

@@ -34,16 +34,115 @@ object EdgeBlocks {
   final case class VertexValue(vid: Long, value: Double)
   final case class Partial(vid: Long, partial: Double)
 
+  /** Blocks + the salt table they were built with (pass both to gathers;
+    * a salt table from a different build routes bundles to wrong pids). */
+  final case class CsrGraph(
+      blocks: Dataset[EdgeBlock], salts: Option[DataFrame])
+  final case class WeightedCsrGraph(
+      blocks: Dataset[WeightedEdgeBlock], salts: Option[DataFrame])
+
   def pidOf(c: org.apache.spark.sql.Column, p: Int) =
     pmod(xxhash64(c), lit(p)).cast("int")
 
+  // ---------------------------------------------------------------------
+  // Hub-vertex salting (north rule: "salting for hub-vertex skew").
+  //
+  // Hash-partitioning by src puts a hub's ENTIRE adjacency in one block:
+  // at 10^12 edges a vertex with 10^9 out-edges makes one task scan 30x
+  // the median block while 31 cores idle. Salting splits a hub src's
+  // adjacency across k = ceil(deg/threshold) pid slots —
+  // pid_i = (pid_base + i) mod p for i in [0, k) — and the state-bundle
+  // router replicates that ONE state row to the same k slots, so every
+  // gather sees a consistent (block, bundle) pairing. All five gathers
+  // merge per-block partials with an associative groupBy (sum/min/
+  // flatten/label-sum), which is exactly why splitting a src across
+  // blocks is semantics-transparent.
+  //
+  // The pid arithmetic stays in [0, 2p) before the final pmod — never
+  // raw xxhash64 + chunk, which can overflow Long under ANSI mode.
+  // With k = 1 the chunk term is 0 and the pid equals pidOf, so an
+  // unsalted vertex's placement is byte-identical to the unsalted build.
+  // ---------------------------------------------------------------------
+
+  /** Salt-table default: split a src only when its out-degree exceeds 8M
+    * edges (a meaningful fraction of a 10^12/32k ≈ 3e7-edge block; at
+    * test scale nothing triggers). Override with GRAFT_SALT_THRESHOLD /
+    * -Dgraft.salt.threshold for benches and specs. */
+  def saltThreshold: Long =
+    sys.env.get("GRAFT_SALT_THRESHOLD")
+      .orElse(sys.props.get("graft.salt.threshold"))
+      .map(_.toLong).getOrElse(8L * 1000 * 1000)
+
+  /** (vid, k) for every src whose out-degree exceeds `threshold`:
+    * k = min(ceil(deg/threshold), p) pid slots. One degree aggregation at
+    * build time; the table is hub-only and therefore tiny by definition
+    * (broadcast on every use). Returns None when no vertex qualifies so
+    * unsalted graphs pay zero per-round overhead. */
+  def hubSalts(edges: DataFrame, threshold: Long, p: Int)
+      : Option[DataFrame] = {
+    require(threshold > 0, "saltThreshold must be positive")
+    val s = edges.groupBy(col("src").as("vid"))
+      .agg(count(lit(1)).as("deg"))
+      .where(col("deg") > threshold)
+      .select(col("vid"),
+        least(ceil(col("deg").cast("double") / threshold.toDouble),
+          lit(p.toLong)).cast("int").as("k"))
+      .persist()
+    if (s.count() == 0L) { s.unpersist(); None } else Some(s)
+  }
+
+  /** Edge-side pid: base slot + per-edge chunk in [0, k), k from the
+    * broadcast salt table (1 when absent). */
+  private def edgePid(salts: Option[DataFrame], edges: DataFrame, p: Int)
+      : DataFrame = salts match {
+    case None =>
+      edges.withColumn("pid", pidOf(col("src"), p))
+    case Some(s) =>
+      edges
+        .join(broadcast(s.select(col("vid").as("src"), col("k"))),
+          Seq("src"), "left")
+        .withColumn("pid",
+          pmod(pmod(xxhash64(col("src")), lit(p))
+            + pmod(xxhash64(lit("chunk"), col("src"), col("dst")),
+                coalesce(col("k"), lit(1)).cast("long")),
+            lit(p)).cast("int"))
+        .drop("k")
+  }
+
+  /** State-side routing: a (vid, value) state row goes to pid slot(s)
+    * (base + i) mod p for i in [0, k) — one row for normal vertices, k
+    * replicas for salted hubs — then bundles per pid. Shared by all five
+    * gathers. */
+  private def bundleState(st: DataFrame, p: Int, salts: Option[DataFrame])
+      : DataFrame = {
+    val routed = salts match {
+      case None =>
+        st.select(pidOf(col("vid"), p).as("pid"), col("vid"), col("value"))
+      case Some(s) =>
+        st.join(broadcast(s), Seq("vid"), "left")
+          .select(col("vid"), col("value"),
+            explode(sequence(lit(0), coalesce(col("k"), lit(1)) - 1))
+              .as("i"))
+          .select(
+            pmod(pmod(xxhash64(col("vid")), lit(p)) + col("i").cast("long"),
+              lit(p)).cast("int").as("pid"),
+            col("vid"), col("value"))
+    }
+    routed.groupBy("pid")
+      .agg(collect_list(struct(col("vid"), col("value"))).as("vals"))
+  }
+
   /** Pack an edge DataFrame (src, dst) into P CSR blocks — one block per
     * pid. (repartition hashes the pid column, so one Spark partition can
-    * hold several pids; blocks therefore split on pid boundaries.) */
-  def build(edges: DataFrame, p: Int): Dataset[EdgeBlock] = {
+    * hold several pids; blocks therefore split on pid boundaries.)
+    * With `salts`, hub srcs' adjacency splits across their k pid slots —
+    * pass the SAME salt table to every gather over these blocks. */
+  def build(edges: DataFrame, p: Int,
+      salts: Option[DataFrame] = None): Dataset[EdgeBlock] = {
     val spark = edges.sparkSession
     import spark.implicits._
-    edges.select(col("src"), col("dst"), pidOf(col("src"), p).as("pid"))
+    edgePid(salts, edges.select(col("src"), col("dst")), p)
+      .select(col("src"), col("dst"), col("pid"))
       .repartition(p, col("pid"))
       .sortWithinPartitions(col("pid"), col("src"), col("dst"))
       .as[(Long, Long, Int)]
@@ -105,15 +204,13 @@ object EdgeBlocks {
     * put. Inside a block: merge-join the sorted state bundle against the
     * sorted srcIds, accumulate into a flat double array indexed by the
     * densified neighbor ids. */
-  def gatherSum(blocks: Dataset[EdgeBlock], state: DataFrame, p: Int)
-      : DataFrame = {
+  def gatherSum(blocks: Dataset[EdgeBlock], state: DataFrame, p: Int,
+      salts: Option[DataFrame] = None): DataFrame = {
     val spark = blocks.sparkSession
     import spark.implicits._
-    val bundles = state
-      .select(pidOf(col("vid"), p).as("pid"),
-        col("vid"), col("value").cast("double").as("value"))
-      .groupBy("pid")
-      .agg(collect_list(struct(col("vid"), col("value"))).as("vals"))
+    val bundles = bundleState(
+      state.select(col("vid"), col("value").cast("double").as("value")),
+      p, salts)
     blocks.toDF()
       .join(bundles, "pid")
       .as[(Int, Array[Long], Array[Int], Array[Int], Array[Long],
@@ -178,12 +275,13 @@ object EdgeBlocks {
 
   /** Pack (src, dst, weight) into P weighted CSR blocks — the layout of
     * [[build]] plus the parallel weight array. */
-  def buildWeighted(edges: DataFrame, p: Int): Dataset[WeightedEdgeBlock] = {
+  def buildWeighted(edges: DataFrame, p: Int,
+      salts: Option[DataFrame] = None): Dataset[WeightedEdgeBlock] = {
     val spark = edges.sparkSession
     import spark.implicits._
-    edges.select(col("src"), col("dst"),
-        col("weight").cast("double").as("weight"),
-        pidOf(col("src"), p).as("pid"))
+    edgePid(salts, edges.select(col("src"), col("dst"),
+        col("weight").cast("double").as("weight")), p)
+      .select(col("src"), col("dst"), col("weight"), col("pid"))
       .repartition(p, col("pid"))
       .sortWithinPartitions(col("pid"), col("src"), col("dst"))
       .as[(Long, Long, Double, Int)]
@@ -241,14 +339,12 @@ object EdgeBlocks {
     * (src value + edge weight). Same two-small-shuffles structure as
     * gatherSum — the weighted blocks never move. */
   def gatherMinPlus(blocks: Dataset[WeightedEdgeBlock], state: DataFrame,
-      p: Int): DataFrame = {
+      p: Int, salts: Option[DataFrame] = None): DataFrame = {
     val spark = blocks.sparkSession
     import spark.implicits._
-    val bundles = state
-      .select(pidOf(col("vid"), p).as("pid"),
-        col("vid"), col("value").cast("double").as("value"))
-      .groupBy("pid")
-      .agg(collect_list(struct(col("vid"), col("value"))).as("vals"))
+    val bundles = bundleState(
+      state.select(col("vid"), col("value").cast("double").as("value")),
+      p, salts)
     blocks.toDF()
       .join(bundles, "pid")
       .as[(Int, Array[Long], Array[Int], Array[Int], Array[Long],
@@ -304,15 +400,13 @@ object EdgeBlocks {
     * contributing src values (per-block partial arrays flattened by one
     * groupBy — the edges stay put; only state bundles and value arrays
     * move, never the edge relation). */
-  def gatherCollect(blocks: Dataset[EdgeBlock], state: DataFrame, p: Int)
-      : DataFrame = {
+  def gatherCollect(blocks: Dataset[EdgeBlock], state: DataFrame, p: Int,
+      salts: Option[DataFrame] = None): DataFrame = {
     val spark = blocks.sparkSession
     import spark.implicits._
-    val bundles = state
-      .select(pidOf(col("vid"), p).as("pid"),
-        col("vid"), col("value").cast("long").as("value"))
-      .groupBy("pid")
-      .agg(collect_list(struct(col("vid"), col("value"))).as("vals"))
+    val bundles = bundleState(
+      state.select(col("vid"), col("value").cast("long").as("value")),
+      p, salts)
     blocks.toDF()
       .join(bundles, "pid")
       .as[(Int, Array[Long], Array[Int], Array[Int], Array[Long],
@@ -376,14 +470,12 @@ object EdgeBlocks {
     * sums accumulate in primitive-keyed LongMaps (no tuple boxing in
     * the |E| loop). */
   def gatherLabelSum(blocks: Dataset[WeightedEdgeBlock], state: DataFrame,
-      p: Int): DataFrame = {
+      p: Int, salts: Option[DataFrame] = None): DataFrame = {
     val spark = blocks.sparkSession
     import spark.implicits._
-    val bundles = state
-      .select(pidOf(col("vid"), p).as("pid"),
-        col("vid"), col("label").cast("long").as("value"))
-      .groupBy("pid")
-      .agg(collect_list(struct(col("vid"), col("value"))).as("vals"))
+    val bundles = bundleState(
+      state.select(col("vid"), col("label").cast("long").as("value")),
+      p, salts)
     blocks.toDF()
       .join(bundles, "pid")
       .as[(Int, Array[Long], Array[Int], Array[Int], Array[Long],
@@ -434,15 +526,13 @@ object EdgeBlocks {
   /** gather-min over a LONG-valued vertex state (the WCC/label shape):
     * for every dst with at least one contributing src, the minimum src
     * value. Same two-small-shuffles structure as gatherSum. */
-  def gatherMin(blocks: Dataset[EdgeBlock], state: DataFrame, p: Int)
-      : DataFrame = {
+  def gatherMin(blocks: Dataset[EdgeBlock], state: DataFrame, p: Int,
+      salts: Option[DataFrame] = None): DataFrame = {
     val spark = blocks.sparkSession
     import spark.implicits._
-    val bundles = state
-      .select(pidOf(col("vid"), p).as("pid"),
-        col("vid"), col("value").cast("long").as("value"))
-      .groupBy("pid")
-      .agg(collect_list(struct(col("vid"), col("value"))).as("vals"))
+    val bundles = bundleState(
+      state.select(col("vid"), col("value").cast("long").as("value")),
+      p, salts)
     blocks.toDF()
       .join(bundles, "pid")
       .as[(Int, Array[Long], Array[Int], Array[Int], Array[Long],

@@ -57,31 +57,37 @@ final case class SimpleGraph(
     preparedEdges("outdeg", outDegrees, "vid", p)
 
   /** Memoized CSR block packing of an edge view (Strategy.CsrGather tier):
-    * built and cached once per (tag, p), like preparedEdges. */
+    * built and cached once per (tag, p), like preparedEdges. Hub srcs
+    * above EdgeBlocks.saltThreshold get their adjacency salted across
+    * multiple pid slots (north rule: skew handling); the salt table is
+    * cached alongside and must be passed to every gather over these
+    * blocks. */
   @transient private lazy val blockCache =
-    scala.collection.mutable.Map[(String, Int),
-      org.apache.spark.sql.Dataset[EdgeBlocks.EdgeBlock]]()
+    scala.collection.mutable.Map[(String, Int), EdgeBlocks.CsrGraph]()
   def preparedBlocks(tag: String, df: => DataFrame, p: Int)
-      : org.apache.spark.sql.Dataset[EdgeBlocks.EdgeBlock] =
+      : EdgeBlocks.CsrGraph =
     blockCache.synchronized {
       blockCache.getOrElseUpdate((tag, p), {
-        val b = EdgeBlocks.build(df, p).persist()
+        val d = df
+        val salts = EdgeBlocks.hubSalts(d, EdgeBlocks.saltThreshold, p)
+        val b = EdgeBlocks.build(d, p, salts).persist()
         b.count()
-        b
+        EdgeBlocks.CsrGraph(b, salts)
       })
     }
 
   /** Memoized weighted CSR block packing (SSSP's CsrGather tier). */
   @transient private lazy val wblockCache =
-    scala.collection.mutable.Map[(String, Int),
-      org.apache.spark.sql.Dataset[EdgeBlocks.WeightedEdgeBlock]]()
+    scala.collection.mutable.Map[(String, Int), EdgeBlocks.WeightedCsrGraph]()
   def preparedWeightedBlocks(tag: String, df: => DataFrame, p: Int)
-      : org.apache.spark.sql.Dataset[EdgeBlocks.WeightedEdgeBlock] =
+      : EdgeBlocks.WeightedCsrGraph =
     wblockCache.synchronized {
       wblockCache.getOrElseUpdate((tag, p), {
-        val b = EdgeBlocks.buildWeighted(df, p).persist()
+        val d = df
+        val salts = EdgeBlocks.hubSalts(d, EdgeBlocks.saltThreshold, p)
+        val b = EdgeBlocks.buildWeighted(d, p, salts).persist()
         b.count()
-        b
+        EdgeBlocks.WeightedCsrGraph(b, salts)
       })
     }
 
@@ -184,11 +190,15 @@ final case class SimpleGraph(
       prepCache.clear()
     }
     blockCache.synchronized {
-      blockCache.values.foreach(_.unpersist())
+      blockCache.values.foreach { g =>
+        g.blocks.unpersist(); g.salts.foreach(_.unpersist())
+      }
       blockCache.clear()
     }
     wblockCache.synchronized {
-      wblockCache.values.foreach(_.unpersist())
+      wblockCache.values.foreach { g =>
+        g.blocks.unpersist(); g.salts.foreach(_.unpersist())
+      }
       wblockCache.clear()
     }
     vertices.unpersist()

@@ -755,7 +755,8 @@ object OracleSql {
     * near 0.51, far under the 0.95 threshold). */
   val eCosNearDup: String =
     """SELECT CAST(vec_id AS BIGINT) AS id_a,
-      |       CAST(vec_id + 1000000 AS BIGINT) AS id_b,
+      |       CAST(vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings)
+      |         AS BIGINT) AS id_b,
       |       CAST(1.0 AS DOUBLE) AS cos
       |FROM embeddings WHERE vec_id < 50
       |""".stripMargin

@@ -58,7 +58,11 @@ object Iterate {
     val spark = init.sparkSession
     var metrics = Vector.empty[IterMetrics]
 
-    // Resume: newest complete parquet checkpoint for this runId.
+    // Resume: newest complete parquet checkpoint for this runId. If that
+    // iteration has per-partition lineage on record, the resumed state is
+    // validated against it (row total + content checksum) before any new
+    // round runs — a truncated or foreign checkpoint fails loudly instead
+    // of resuming from corrupt state.
     var startRound = 0
     var state: DataFrame = null
     checkpoint.dir.foreach { d =>
@@ -66,6 +70,7 @@ object Iterate {
       found.foreach { case (round, path) =>
         startRound = round
         state = spark.read.parquet(path)
+        validateLineage(d, checkpoint.runId, round, state)
       }
     }
     if (state == null) state = init.localCheckpoint(true)
@@ -102,6 +107,7 @@ object Iterate {
           state1.write.mode("overwrite")
             .parquet(s"$d/${checkpoint.runId}/iter_$round")
           appendMetrics(d, m)
+          appendLineage(d, checkpoint.runId, round, state1)
         }
       }
       if (prev ne init) prev.unpersist()
@@ -122,6 +128,64 @@ object Iterate {
         p.toString))
       .toSeq
     if (iters.isEmpty) None else Some(iters.maxBy(_._1))
+  }
+
+  /** Per-partition lineage (north rule: "per-partition lineage"): one
+    * line per (iteration, partition) with row count and an
+    * order-independent content checksum (sum of per-row xxhash64 in
+    * DECIMAL(38,0) — ANSI-safe, no long overflow). Written next to each
+    * durable checkpoint; `validateLineage` replays it on resume. The agg
+    * collects one row PER PARTITION (P rows), never data rows. */
+  private def appendLineage(dir: String, runId: String, round: Int,
+      state: DataFrame): Unit = {
+    val cols = state.columns.map(col)
+    val parts = state
+      .groupBy(spark_partition_id().as("part"))
+      .agg(count(lit(1)).as("rows"),
+        sum(xxhash64(cols: _*).cast("decimal(38,0)")).as("checksum"))
+      .orderBy("part")
+      .collect()
+    val p = Paths.get(dir, runId, "lineage.jsonl")
+    Files.createDirectories(p.getParent)
+    val lines = parts.map { r =>
+      s"""{"runId":"$runId","iteration":$round,""" +
+      s""""partition":${r.getInt(0)},"rows":${r.getLong(1)},""" +
+      s""""checksum":"${r.getDecimal(2)}"}"""
+    }.mkString("", "\n", "\n")
+    Files.writeString(p, lines, StandardOpenOption.CREATE,
+      StandardOpenOption.APPEND)
+  }
+
+  /** Check a resumed checkpoint against its recorded lineage: total rows
+    * and the (partitioning-independent) sum of per-partition checksums
+    * must match. Partition boundaries themselves may legally differ on
+    * re-read — the checksum is a sum of per-row hashes, so it is invariant
+    * to how rows landed in partitions. No-op when no lineage was written
+    * for the round. */
+  private def validateLineage(dir: String, runId: String, round: Int,
+      state: DataFrame): Unit = {
+    val p = Paths.get(dir, runId, "lineage.jsonl")
+    if (!Files.exists(p)) return
+    val iterRe = """"iteration":(\d+)""".r
+    val rowsRe = """"rows":(\d+)""".r
+    val sumRe = """"checksum":"(-?\d+)"""".r
+    val recs = Files.readAllLines(p).asScala
+      .filter(l => iterRe.findFirstMatchIn(l)
+        .exists(_.group(1).toInt == round))
+    if (recs.isEmpty) return
+    val wantRows = recs.map(l =>
+      rowsRe.findFirstMatchIn(l).get.group(1).toLong).sum
+    val wantSum = recs.map(l =>
+      BigDecimal(sumRe.findFirstMatchIn(l).get.group(1))).sum
+    val cols = state.columns.map(col)
+    val got = state.agg(count(lit(1)).as("rows"),
+      sum(xxhash64(cols: _*).cast("decimal(38,0)")).as("checksum")).head()
+    require(got.getLong(0) == wantRows,
+      s"checkpoint $runId/iter_$round row count ${got.getLong(0)} != " +
+        s"lineage total $wantRows — refusing to resume from corrupt state")
+    require(BigDecimal(got.getDecimal(1)) == wantSum,
+      s"checkpoint $runId/iter_$round content checksum mismatch vs " +
+        "lineage — refusing to resume from corrupt state")
   }
 
   private def appendMetrics(dir: String, m: IterMetrics): Unit = {

@@ -129,6 +129,85 @@ class EdgeBlocksSpec extends SparkSpec {
     }
   }
 
+  test("salted builds split hub adjacency and preserve every gather " +
+      "exactly") {
+    val rng = new Random(11L)
+    val nV = 40
+    val p = 6
+    // Hub vertex 0: out-degree 400 (a multigraph — duplicates expected);
+    // everyone else stays under the salt threshold.
+    val hub = (0 until 400).map { _ =>
+      (0L, (1 + rng.nextInt(nV - 1)).toLong, (1 + rng.nextInt(9)).toDouble)
+    }
+    val rest = (0 until 300).map { _ =>
+      val s = rng.nextInt(nV).toLong
+      var d = rng.nextInt(nV).toLong
+      if (d == s) d = (s + 1) % nV
+      (s, d, (1 + rng.nextInt(9)).toDouble)
+    }
+    val edges = rng.shuffle(hub ++ rest)
+      .toDF("src", "dst", "weight").repartition(5)
+
+    assert(EdgeBlocks.hubSalts(edges, 1000L, p).isEmpty,
+      "no hub above a high threshold -> no salt table at all")
+    val salts = EdgeBlocks.hubSalts(edges, 25L, p)
+    assert(salts.isDefined)
+    val k = salts.get.where(col("vid") === 0L).head().getInt(1)
+    assert(k == p, "k = min(ceil(400/25) = 16, p = 6) = 6")
+
+    val blocks = EdgeBlocks.build(edges.select("src", "dst"), p, salts)
+    val wblocks = EdgeBlocks.buildWeighted(edges, p, salts)
+    // The hub's adjacency must actually split across blocks...
+    val hubBlocks = blocks.collect().count(_.srcIds.contains(0L))
+    assert(hubBlocks >= 2, s"hub adjacency in $hubBlocks block(s)")
+    // ...without losing or duplicating a single edge.
+    assert(blocks.collect().map(_.dstIndex.length).sum == 700)
+
+    val state = randomState(rng, nV, dups = true)
+    val sumGot = EdgeBlocks.gatherSum(blocks, state, p, salts)
+    val sumWant = edges
+      .join(state.select(col("vid").as("src"),
+        col("value").cast("double").as("value")), "src")
+      .groupBy(col("dst").as("vid"))
+      .agg(sum(col("value")).as("sum_value"))
+    assertSameRows(sumGot, sumWant, "salted gatherSum")
+
+    val minGot = EdgeBlocks.gatherMin(blocks, state, p, salts)
+    val minWant = edges
+      .join(state.select(col("vid").as("src"), col("value")), "src")
+      .groupBy(col("dst").as("vid"))
+      .agg(min(col("value")).as("min_value"))
+    assertSameRows(minGot, minWant, "salted gatherMin")
+
+    val mpGot = EdgeBlocks.gatherMinPlus(wblocks, state, p, salts)
+    val mpWant = edges
+      .join(state.select(col("vid").as("src"),
+        col("value").cast("double").as("value")), "src")
+      .groupBy(col("dst").as("vid"))
+      .agg(min(col("value") + col("weight")).as("min_value"))
+    assertSameRows(mpGot, mpWant, "salted gatherMinPlus")
+
+    val labels = randomState(rng, nV, dups = false)
+      .withColumnRenamed("value", "label")
+    val lsGot = EdgeBlocks.gatherLabelSum(wblocks, labels, p, salts)
+    val lsWant = edges
+      .join(labels.select(col("vid").as("src"), col("label")), "src")
+      .groupBy(col("dst").as("vid"), col("label"))
+      .agg(sum(col("weight")).as("sum_w"))
+    assertSameRows(lsGot, lsWant, "salted gatherLabelSum")
+
+    val clGot = EdgeBlocks.gatherCollect(blocks, state, p, salts)
+      .select(col("vid"), sort_array(col("values")).as("values"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val clWant = edges
+      .join(state.select(col("vid").as("src"), col("value")), "src")
+      .groupBy(col("dst").as("vid"))
+      .agg(sort_array(collect_list(col("value"))).as("values"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(clGot == clWant, "salted gatherCollect")
+    salts.foreach(_.unpersist())
+  }
+
   test("empty state and disjoint state both gather to zero rows") {
     val rng = new Random(9L)
     val edges = randomEdges(rng, 20, 60)

@@ -52,5 +52,35 @@ class IterateSpec extends SparkSpec {
       java.nio.file.Paths.get(dir, "r1", "metrics.jsonl"))
     assert(lines.size() == 10)
     assert(lines.get(0).contains("\"iteration\":1"))
+    // lineage.jsonl has per-PARTITION lineage: every iteration's rows
+    // sum to the state size (1 here) and carry a content checksum.
+    val lin = Files.readAllLines(
+      java.nio.file.Paths.get(dir, "r1", "lineage.jsonl"))
+    assert(lin.size() == 10, "one single-row partition per iteration")
+    assert(lin.get(0).contains("\"partition\":"))
+    assert(lin.get(0).contains("\"rows\":1"))
+    assert(lin.get(0).contains("\"checksum\":\""))
+  }
+
+  test("resume refuses a checkpoint that contradicts its lineage") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ckpt-bad").toString
+    val init = Seq((1L, 0), (2L, 10)).toDF("vid", "n")
+    val cp = CheckpointConfig(Some(dir), runId = "r1")
+    Iterate.run(init, 3, (s, _) =>
+      s.select(col("vid"), (col("n") + 1).as("n")),
+      stopWhenUnchanged = false, checkpoint = cp)
+    // Corrupt the newest checkpoint's content without touching lineage:
+    // overwrite iter_3 with iter_2's (different) rows.
+    val p2 = java.nio.file.Paths.get(dir, "r1", "iter_2")
+    val p3 = java.nio.file.Paths.get(dir, "r1", "iter_3")
+    spark.read.parquet(p2.toString).write
+      .mode("overwrite").parquet(p3.toString)
+    val e = intercept[IllegalArgumentException] {
+      Iterate.run(init, 5, (s, _) =>
+        s.select(col("vid"), (col("n") + 1).as("n")),
+        stopWhenUnchanged = false, checkpoint = cp)
+    }
+    assert(e.getMessage.contains("checksum mismatch"))
   }
 }

@@ -136,6 +136,41 @@ class PregelSpec extends SparkSpec {
     } finally sys.props.remove("graft.force.csr")
   }
 
+  test("hub-salted CSR tier == default tier on a skewed star graph") {
+    import graft.apps.{PageRank, WCC}
+    import spark.implicits._
+    // Vertex 1 has out-degree 59 — far above the forced salt threshold
+    // of 10, so its adjacency splits across ceil(59/10) = 6 pid slots.
+    val star = (2L to 60L).map(d => (1L, d)) ++ Seq((60L, 1L), (5L, 6L))
+    def mk = SimpleGraph((1L to 60L).toDF("vid"),
+      star.toDF("src", "dst"), directed = true)
+    val want = PageRank.run(mk, 0.85, 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val wantW = WCC.run(mk.toUndirected).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sys.props("graft.force.csr") = "true"
+    sys.props("graft.salt.threshold") = "10"
+    try {
+      val sg = mk
+      val got = PageRank.run(sg, 0.85, 10).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assertAllClose(got, want, 1e-12, "salted csr pagerank")
+      val gotW = WCC.run(mk.toUndirected).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotW == wantW, "salted csr wcc differs")
+      // The memoized blocks PageRank just used really are salted: the
+      // hub's adjacency spans several blocks.
+      val p = spark.sessionState.conf.numShufflePartitions
+      val csr = sg.preparedBlocks("csr", sg.edges.select("src", "dst"), p)
+      assert(csr.salts.isDefined, "salt table expected at threshold 10")
+      val hubBlocks = csr.blocks.collect().count(_.srcIds.contains(1L))
+      assert(hubBlocks >= 2, s"hub adjacency in $hubBlocks block(s)")
+    } finally {
+      sys.props.remove("graft.force.csr")
+      sys.props.remove("graft.salt.threshold")
+    }
+  }
+
   test("pregel sssp (convergence-gated, sssp_pregel.h) == frontier SSSP") {
     import graft.apps.SSSP
     val wg = g.copy(edges = g.edges.withColumn("weight",

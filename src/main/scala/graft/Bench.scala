@@ -573,6 +573,59 @@ object Bench {
       fields("scaling_tiers") = results.mkString("{", ",", "}")
       emit()
     }
+    // Hub-skew salting probe (north rule: "salting for hub-vertex skew"):
+    // a deterministic graph with one 10M-out-edge hub over a 1M-vertex
+    // space + 20M background edges. Unsalted, the hub's whole adjacency
+    // lands in ONE CSR block (~16x the median block — a straggler task
+    // while the other cores idle); salted at threshold 2M it splits
+    // across k=5 pid slots. Same gatherSum, same result, timed both ways.
+    if (full && budgetLeft(0.8)) safe("skew_salting") {
+      import graft.graph.EdgeBlocks
+      val p = spark.sparkContext.defaultParallelism
+      val v = 1000000L
+      val bg = spark.range(20000000L).select(
+        pmod(xxhash64(col("id"), lit(1)), lit(v)).as("src"),
+        pmod(xxhash64(col("id"), lit(2)), lit(v)).as("dst"))
+      val hubDeg = 10000000L
+      val hub = spark.range(hubDeg).select(lit(0L).as("src"),
+        pmod(xxhash64(col("id"), lit(3)), lit(v)).as("dst"))
+      val edges = bg.unionByName(hub).where(col("src") =!= col("dst"))
+        .repartition(p * 2).persist()
+      val ne = edges.count()
+      val state = spark.range(v).select(col("id").as("vid"),
+        lit(1.0).as("value")).persist()
+      state.count()
+      // state values are 1.0 and every per-dst sum is an exact
+      // integer-valued double (< 2^53), so the total is order-independent
+      // and the salted/unsalted checksums compare EXACTLY.
+      def gatherChk(blocks: org.apache.spark.sql.Dataset[
+          EdgeBlocks.EdgeBlock], salts: Option[DataFrame]): (Double, Double) =
+        time {
+          EdgeBlocks.gatherSum(blocks, state, p, salts)
+            .agg(sum(col("sum_value"))).head().getDouble(0)
+        }.swap
+      val plain = EdgeBlocks.build(edges, p).persist()
+      plain.count()
+      val (tPlain, chkPlain) =
+        Seq.fill(3)(gatherChk(plain, None)).minBy(_._1)
+      plain.unpersist()
+      val salts = EdgeBlocks.hubSalts(edges, 2000000L, p)
+      val k = salts.map(_.where(col("vid") === 0L).head().getInt(1))
+        .getOrElse(1)
+      val salted = EdgeBlocks.build(edges, p, salts).persist()
+      salted.count()
+      val (tSalted, chkSalted) =
+        Seq.fill(3)(gatherChk(salted, salts)).minBy(_._1)
+      salted.unpersist(); salts.foreach(_.unpersist())
+      edges.unpersist(); state.unpersist()
+      fields("skew_salting") =
+        s"""{"edges":$ne,"hub_degree":$hubDeg,"salt_k":$k,""" +
+          s""""unsalted_gather_sec":${fmt(tPlain, 2)},""" +
+          s""""salted_gather_sec":${fmt(tSalted, 2)},""" +
+          s""""speedup":${fmt(tPlain / tSalted, 2)},""" +
+          s""""results_match":${chkPlain == chkSalted}}"""
+      emit()
+    }
     if (full && cpLoT > 0 && budgetLeft(0.85)) safe("probe_hi") {
       computeProbe(spark, sfDir, 2)
       cpHiT = math.min(computeProbe(spark, sfDir, 4),

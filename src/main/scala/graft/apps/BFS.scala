@@ -40,9 +40,9 @@ object BFS {
       when(col("vid") === source, lit(1)).otherwise(lit(0)).as("_changed"))
       .repartition(p, col("vid"))
 
-    val res = Iterate.run(
+    val res = Iterate.runDelta(
       init, maxRounds,
-      step = (state, round) => {
+      step = (state, round, prevChanged) => {
         val frontier = state.where(col("_changed") === 1)
           .select(col("vid").as("src"))
         val reached =
@@ -52,7 +52,8 @@ object BFS {
             graft.graph.EdgeBlocks.gatherMin(csr.blocks,
               frontier.select(col("src").as("vid"), lit(1L).as("value")),
               p, csr.salts).select(col("vid"))
-          else edges.join(Strategy.state(frontier, bcast), "src")
+          else edges
+            .join(Strategy.frontier(frontier, bcast, prevChanged), "src")
             .select(col("dst").as("vid")).distinct()
         state.join(reached.withColumn("hit", lit(1)), Seq("vid"), "left")
           .select(
@@ -64,7 +65,8 @@ object BFS {
               .otherwise(lit(0)).as("_changed"))
       },
       stopWhenUnchanged = true,
-      checkpoint = checkpoint)
+      checkpoint = checkpoint,
+      initChanged = 1L) // the single seeded source
 
     res.state.select("vid", "depth")
   }

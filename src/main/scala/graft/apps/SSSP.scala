@@ -43,9 +43,9 @@ object SSSP {
       when(col("vid") === source, lit(1)).otherwise(lit(0)).as("_changed"))
       .repartition(p, col("vid"))
 
-    val res = Iterate.run(
+    val res = Iterate.runDelta(
       init, maxRounds,
-      step = (state, _) => {
+      step = (state, _, prevChanged) => {
         val frontier = state.where(col("_changed") === 1)
           .select(col("vid").as("src"), col("dist"))
         val relax =
@@ -54,7 +54,8 @@ object SSSP {
               frontier.select(col("src").as("vid"),
                 col("dist").as("value")), p, csr.salts)
               .select(col("vid"), col("min_value").as("nd"))
-          else edges.join(Strategy.state(frontier, bcast), "src")
+          else edges
+            .join(Strategy.frontier(frontier, bcast, prevChanged), "src")
             .groupBy(col("dst").as("vid"))
             .agg(min(col("dist") + col("weight")).as("nd"))
         state.join(relax, Seq("vid"), "left").select(
@@ -64,7 +65,8 @@ object SSSP {
             .otherwise(lit(0)).as("_changed"))
       },
       stopWhenUnchanged = true,
-      checkpoint = checkpoint)
+      checkpoint = checkpoint,
+      initChanged = 1L) // the single seeded source
 
     res.state.select(col("vid"),
       when(col("dist") === inf, lit(-1.0)).otherwise(col("dist"))

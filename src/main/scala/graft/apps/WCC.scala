@@ -54,9 +54,9 @@ object WCC {
       .select(col("vid"), col("vid").as("comp"), lit(1).as("_changed"))
       .repartition(p, col("vid"))
 
-    val res = Iterate.run(
+    val res = Iterate.runDelta(
       init, maxRounds,
-      step = (state, _) => {
+      step = (state, _, prevChanged) => {
         val frontier = state.where(col("_changed") === 1)
           .select(col("vid").as("src"), col("comp"))
         val msgs =
@@ -66,7 +66,8 @@ object WCC {
                 col("comp").as("value")), p, csr.salts)
               .select(col("vid"), col("min_value").as("mc"))
           else
-            edges.join(Strategy.state(frontier, bcast), "src")
+            edges
+              .join(Strategy.frontier(frontier, bcast, prevChanged), "src")
               .groupBy(col("dst").as("vid")).agg(min(col("comp")).as("mc"))
         state.join(msgs, Seq("vid"), "left").select(
           col("vid"),

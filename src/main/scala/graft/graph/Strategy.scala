@@ -61,4 +61,26 @@ object Strategy {
   /** Hint the state side of an edges-join when the graph is small. */
   def state(df: DataFrame, broadcastState: Boolean): DataFrame =
     if (broadcastState) broadcast(df) else df
+
+  /** Frontier deltas at most this many rows get broadcast even in the
+    * Shuffle tier (~16 bytes/row -> 64 MiB at the default). Override with
+    * -Dgraft.frontier.broadcast.max (tests force it low/high). */
+  def maxBroadcastFrontier: Long =
+    sys.props.get("graft.frontier.broadcast.max").map(_.toLong)
+      .getOrElse(4L * 1000 * 1000)
+
+  /** Hint the frontier side of an edges-join (north rule: "broadcast of
+    * high-degree frontier deltas"). The Shuffle tier moves only the
+    * frontier per round — but late SSSP/BFS/WCC rounds shrink the
+    * frontier to a sliver, and with AQE off on a derived, checkpointed
+    * frame Spark will NOT discover that on its own; the superstep driver
+    * already knows the exact delta size from the previous round's
+    * convergence count, so the hint costs zero extra jobs.
+    * `prevChanged` = -1 means unknown -> no hint. */
+  def frontier(df: DataFrame, broadcastState: Boolean, prevChanged: Long)
+      : DataFrame =
+    if (broadcastState ||
+        (prevChanged >= 0 && prevChanged <= maxBroadcastFrontier))
+      broadcast(df)
+    else df
 }

@@ -53,7 +53,25 @@ object Iterate {
       maxRounds: Int,
       step: (DataFrame, Int) => DataFrame,
       stopWhenUnchanged: Boolean = true,
-      checkpoint: CheckpointConfig = CheckpointConfig()): Result = {
+      checkpoint: CheckpointConfig = CheckpointConfig()): Result =
+    runDelta(init, maxRounds, (s, r, _) => step(s, r), stopWhenUnchanged,
+      checkpoint)
+
+  /** Like [[run]], but the step also receives the PREVIOUS round's
+    * `_changed` sum (the frontier-delta size; -1 when unknown — e.g. the
+    * first round after a resume). Frontier apps use it to broadcast-hint
+    * a shrunken frontier (north rule: "broadcast of high-degree frontier
+    * deltas", [[graft.graph.Strategy.frontier]]) without paying an extra
+    * count job — the convergence check already computed the number.
+    * @param initChanged the frontier size of `init` when the caller knows
+    *   it (single-source apps seed exactly 1); -1 = unknown. */
+  def runDelta(
+      init: DataFrame,
+      maxRounds: Int,
+      step: (DataFrame, Int, Long) => DataFrame,
+      stopWhenUnchanged: Boolean = true,
+      checkpoint: CheckpointConfig = CheckpointConfig(),
+      initChanged: Long = -1L): Result = {
 
     val spark = init.sparkSession
     var metrics = Vector.empty[IterMetrics]
@@ -78,10 +96,13 @@ object Iterate {
     var round = startRound
     var done = false
     var prev = state
+    // Frontier-delta size from the previous round (-1 = unknown; resumes
+    // start unknown because the count isn't persisted with the state).
+    var lastChanged = if (startRound == 0) initChanged else -1L
     while (round < maxRounds && !done) {
       round += 1
       val t0 = System.nanoTime()
-      val next0 = step(prev, round)
+      val next0 = step(prev, round, lastChanged)
       val hasChanged = next0.columns.contains("_changed")
       // Materialize + cut lineage in one action.
       val next = next0.localCheckpoint(true)
@@ -112,6 +133,7 @@ object Iterate {
       }
       if (prev ne init) prev.unpersist()
       prev = state1
+      if (hasChanged) lastChanged = changed
       if (hasChanged && stopWhenUnchanged && changed == 0L) done = true
     }
     Result(prev, metrics, round)

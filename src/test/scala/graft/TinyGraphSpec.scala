@@ -179,6 +179,32 @@ class TinyGraphSpec extends SparkSpec {
     assert(w2 == w16)
   }
 
+  test("frontier-delta broadcast hint: identical results whether the " +
+      "frontier is always, never, or adaptively broadcast") {
+    val wEdges = dirEdges.map { case (a, b) =>
+      (a, b, 1.0 + ((a + b) % 7).toDouble) }
+    import spark.implicits._
+    val wg = SimpleGraph(verts.toDF("vid"),
+      wEdges.toDF("src", "dst", "weight"), directed = true)
+    def all3 = (asMapD(SSSP.run(wg, 1L)), asMapL(BFS.run(gDir, 1L)),
+      asMapL(WCC.run(gUnd)))
+    val base = all3
+    // Shuffle tier so Strategy.frontier's prevChanged branch decides.
+    System.setProperty("graft.force.shuffle", "1")
+    try {
+      System.setProperty("graft.frontier.broadcast.max", "0")
+      val never = all3
+      System.setProperty("graft.frontier.broadcast.max",
+        Long.MaxValue.toString)
+      val always = all3
+      assert(never == base, "never-broadcast frontier changed results")
+      assert(always == base, "always-broadcast frontier changed results")
+    } finally {
+      System.clearProperty("graft.force.shuffle")
+      System.clearProperty("graft.frontier.broadcast.max")
+    }
+  }
+
   test("non-broadcast (shuffle) join path gives identical results") {
     val bPr = normalize(PageRank.run(gDir)
       .select(col("vid"), round(col("rank"), 10).as("r")))

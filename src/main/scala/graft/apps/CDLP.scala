@@ -34,11 +34,19 @@ object CDLP {
     val p = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
 
-    val bcast = Strategy.smallEnoughToBroadcast(g.numVertices)
+    val tier = Strategy.tier(g.numVertices)
+    val bcast = tier == Strategy.Broadcast
     val bothTag = if (!g.directed) "dir" else "both"
-    val edges = g.preparedEdges(bothTag,
+    lazy val edges = g.preparedEdges(bothTag,
       g.bothDirections.select("src", "dst"),
       if (bcast) "dst" else "src", p)
+    // CSR tier (10^9+ vertices): the in+out adjacency is packed once into
+    // partition-local blocks; per round only P label bundles move and the
+    // per-(dst, label) counts come back pre-combined per block
+    // (EdgeBlocks.gatherLabelCount), so the big groupBy(dst, label) never
+    // sees |E| rows.
+    lazy val csr = g.preparedBlocks(s"$bothTag-csr",
+      g.bothDirections.select("src", "dst"), p)
 
     val init = g.vertices.select(col("vid"), col("vid").as("label"))
       .repartition(p, col("vid"))
@@ -46,13 +54,18 @@ object CDLP {
     val res = Iterate.run(
       init, maxRound,
       step = (state, _) => {
-        val nbrLabels = edges
-          .join(Strategy.state(
-            state.select(col("vid").as("src"), col("label")), bcast), "src")
-          .select(col("dst"), col("label"))
-        val pick = nbrLabels
-          .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
-          .groupBy(col("dst").as("vid"))
+        val counts =
+          if (tier == Strategy.CsrGather)
+            graft.graph.EdgeBlocks.gatherLabelCount(csr.blocks,
+              state.select(col("vid"), col("label")), p, csr.salts)
+          else edges
+            .join(Strategy.state(
+              state.select(col("vid").as("src"), col("label")), bcast),
+              "src")
+            .groupBy(col("dst").as("vid"), col("label"))
+            .agg(count(lit(1)).as("cnt"))
+        val pick = counts
+          .groupBy(col("vid"))
           .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
             .as("m"))
           .select(col("vid"), col("m.l").as("picked"))

@@ -523,6 +523,70 @@ object EdgeBlocks {
       .groupBy("vid", "label").agg(sum(col("partial")).as("sum_w"))
   }
 
+  final case class LabelCountPartial(vid: Long, label: Long, partial: Long)
+
+  /** gather-label-count over a LONG-labeled state on UNWEIGHTED blocks
+    * (the CDLP neighbor-label-multiset shape): for every dst with at
+    * least one contributing src, the per-(dst, label(src)) count of
+    * incoming edges — duplicate edges count twice, matching the
+    * LDBC-Graphalytics multiset rule that the plain
+    * `edges ⋈ labels -> groupBy(dst, label).count` path computes. Same
+    * two-small-shuffles structure as gatherLabelSum; per-dst label
+    * counts accumulate in primitive-keyed LongMaps. */
+  def gatherLabelCount(blocks: Dataset[EdgeBlock], state: DataFrame,
+      p: Int, salts: Option[DataFrame] = None): DataFrame = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    val bundles = bundleState(
+      state.select(col("vid"), col("label").cast("long").as("value")),
+      p, salts)
+    blocks.toDF()
+      .join(bundles, "pid")
+      .as[(Int, Array[Long], Array[Int], Array[Int], Array[Long],
+        Array[VertexLongValue])]
+      .mapPartitions { it =>
+        it.flatMap { case (_, srcs, offs, idx, uniq, vals) =>
+          val sorted = vals.sortBy(_.vid)
+          val acc = Array.fill(uniq.length)(null: mutable.LongMap[Long])
+          var si = 0
+          var vi = 0
+          while (si < srcs.length && vi < sorted.length) {
+            val s = srcs(si)
+            val v = sorted(vi).vid
+            if (s < v) si += 1
+            else if (s > v) vi += 1
+            else {
+              // labels are one row per vid (an assignment); skip any
+              // duplicate-vid run defensively, keeping the first
+              val label = sorted(vi).value
+              vi += 1
+              while (vi < sorted.length && sorted(vi).vid == s) vi += 1
+              var j = offs(si)
+              val end = offs(si + 1)
+              while (j < end) {
+                val k = idx(j)
+                if (acc(k) == null) acc(k) = mutable.LongMap.empty[Long]
+                val m = acc(k)
+                m.update(label, m.getOrElse(label, 0L) + 1L)
+                j += 1
+              }
+              si += 1
+            }
+          }
+          val out = mutable.ArrayBuffer[LabelCountPartial]()
+          var k = 0
+          while (k < uniq.length) {
+            if (acc(k) != null)
+              acc(k).foreach { case (l, c) =>
+                out += LabelCountPartial(uniq(k), l, c) }
+            k += 1
+          }
+          out.iterator
+        }
+      }
+      .groupBy("vid", "label").agg(sum(col("partial")).as("cnt"))
+  }
+
   /** gather-min over a LONG-valued vertex state (the WCC/label shape):
     * for every dst with at least one contributing src, the minimum src
     * value. Same two-small-shuffles structure as gatherSum. */

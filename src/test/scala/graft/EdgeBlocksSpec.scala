@@ -110,6 +110,24 @@ class EdgeBlocksSpec extends SparkSpec {
     }
   }
 
+  test("gatherLabelCount == join + groupBy(dst, label(src)).count on " +
+      "random multigraphs") {
+    for ((seed, nV, nE, p, _) <- trials) {
+      val rng = new Random(seed)
+      val edges = randomEdges(rng, nV, nE)
+      // labels are an assignment: one row per vid (CDLP's shape)
+      val state = randomState(rng, nV, dups = false)
+        .withColumnRenamed("value", "label")
+      val blocks = EdgeBlocks.build(edges.select("src", "dst"), p)
+      val got = EdgeBlocks.gatherLabelCount(blocks, state, p)
+      val want = edges
+        .join(state.select(col("vid").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("vid"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      assertSameRows(got, want, s"gatherLabelCount seed=$seed")
+    }
+  }
+
   test("gatherCollect == join + collect_list (order-insensitive) on " +
       "random graphs") {
     for ((seed, nV, nE, p, dups) <- trials) {
@@ -195,6 +213,13 @@ class EdgeBlocksSpec extends SparkSpec {
       .groupBy(col("dst").as("vid"), col("label"))
       .agg(sum(col("weight")).as("sum_w"))
     assertSameRows(lsGot, lsWant, "salted gatherLabelSum")
+
+    val lcGot = EdgeBlocks.gatherLabelCount(blocks, labels, p, salts)
+    val lcWant = edges
+      .join(labels.select(col("vid").as("src"), col("label")), "src")
+      .groupBy(col("dst").as("vid"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    assertSameRows(lcGot, lcWant, "salted gatherLabelCount")
 
     val clGot = EdgeBlocks.gatherCollect(blocks, state, p, salts)
       .select(col("vid"), sort_array(col("values")).as("values"))

@@ -136,6 +136,18 @@ class PregelSpec extends SparkSpec {
     } finally sys.props.remove("graft.force.csr")
   }
 
+  test("CDLP via forced CSR gather tier == default tier") {
+    import graft.apps.CDLP
+    val want = CDLP.run(g, 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sys.props("graft.force.csr") = "true"
+    try {
+      val got = CDLP.run(g, 10).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, "csr cdlp differs")
+    } finally sys.props.remove("graft.force.csr")
+  }
+
   test("hub-salted CSR tier == default tier on a skewed star graph") {
     import graft.apps.{PageRank, WCC}
     import spark.implicits._

@@ -53,7 +53,7 @@ object EdgeBlocks {
   // adjacency across k = ceil(deg/threshold) pid slots —
   // pid_i = (pid_base + i) mod p for i in [0, k) — and the state-bundle
   // router replicates that ONE state row to the same k slots, so every
-  // gather sees a consistent (block, bundle) pairing. All five gathers
+  // gather sees a consistent (block, bundle) pairing. All six gathers
   // merge per-block partials with an associative groupBy (sum/min/
   // flatten/label-sum), which is exactly why splitting a src across
   // blocks is semantics-transparent.
@@ -111,7 +111,7 @@ object EdgeBlocks {
 
   /** State-side routing: a (vid, value) state row goes to pid slot(s)
     * (base + i) mod p for i in [0, k) — one row for normal vertices, k
-    * replicas for salted hubs — then bundles per pid. Shared by all five
+    * replicas for salted hubs — then bundles per pid. Shared by all six
     * gathers. */
   private def bundleState(st: DataFrame, p: Int, salts: Option[DataFrame])
       : DataFrame = {

@@ -32,11 +32,16 @@ object HITS {
       else spark.sessionState.conf.numShufflePartitions
 
     val n = g.numVertices.toDouble
-    val bcast = Strategy.smallEnoughToBroadcast(n.toLong)
+    val tier = Strategy.tier(n.toLong)
+    val bcast = tier == Strategy.Broadcast
     val key = if (bcast) "dst" else "src"
-    val edges = g.preparedEdges("dir", g.edges.select("src", "dst"), key, p)
-    val revEdges = g.preparedEdges("rev",
+    lazy val edges =
+      g.preparedEdges("dir", g.edges.select("src", "dst"), key, p)
+    lazy val revEdges = g.preparedEdges("rev",
       g.edges.select(col("dst").as("src"), col("src").as("dst")), key, p)
+    lazy val csr = g.preparedBlocks("csr", g.edges.select("src", "dst"), p)
+    lazy val revCsr = g.preparedBlocks("rev-csr",
+      g.edges.select(col("dst").as("src"), col("src").as("dst")), p)
 
     var state = g.vertices.select(col("vid"),
       lit(1.0 / n).as("hub"), lit(0.0).as("auth"))
@@ -48,18 +53,14 @@ object HITS {
     var lastCk: org.apache.spark.sql.DataFrame = null
     while (!done && step < maxRound) {
       // auth(u) = sum of hub over in-neighbors: flow src->dst on edges.
-      val authMsgs = edges
-        .join(Strategy.state(
-          state.select(col("vid").as("src"), col("hub")), bcast), "src")
-        .groupBy(col("dst").as("vid")).agg(sum(col("hub")).as("na"))
+      val authMsgs = Centrality.sumMsgs(tier, edges, csr, state, "hub", p)
+        .select(col("vid"), col("mx").as("na"))
       val s1 = state.join(authMsgs, Seq("vid"), "left").select(
         col("vid"), col("hub").as("hub_last"),
         coalesce(col("na"), lit(0.0)).as("auth"))
       // hub(u) = sum of auth over out-neighbors: flow dst->src (revEdges).
-      val hubMsgs = revEdges
-        .join(Strategy.state(
-          s1.select(col("vid").as("src"), col("auth")), bcast), "src")
-        .groupBy(col("dst").as("vid")).agg(sum(col("auth")).as("nh"))
+      val hubMsgs = Centrality.sumMsgs(tier, revEdges, revCsr, s1, "auth", p)
+        .select(col("vid"), col("mx").as("nh"))
       // ONE materialization per round; the max/eps scalars and the
       // normalized state are cheap projections over the checkpointed frame.
       val s2 = s1.join(hubMsgs, Seq("vid"), "left").select(

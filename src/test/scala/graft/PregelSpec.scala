@@ -148,6 +148,29 @@ class PregelSpec extends SparkSpec {
     } finally sys.props.remove("graft.force.csr")
   }
 
+  test("HITS/eigenvector/Katz via forced CSR gather tier == default tier") {
+    import graft.apps.{Centrality, HITS}
+    def asHub(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    def asC(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val wantH = asHub(HITS.run(g, 0.001, 30))
+    val wantE = asC(Centrality.eigenvector(g, 1e-8, 50))
+    val wantK = asC(Centrality.katz(g))
+    sys.props("graft.force.csr") = "true"
+    try {
+      val gotH = asHub(HITS.run(g, 0.001, 30))
+      assert(gotH.keySet == wantH.keySet, "csr hits vid set differs")
+      gotH.foreach { case (v, (h, a)) =>
+        assert(math.abs(h - wantH(v)._1) < 1e-12, s"csr hits hub $v")
+        assert(math.abs(a - wantH(v)._2) < 1e-12, s"csr hits auth $v")
+      }
+      assertAllClose(asC(Centrality.eigenvector(g, 1e-8, 50)), wantE,
+        1e-12, "csr eigenvector")
+      assertAllClose(asC(Centrality.katz(g)), wantK, 1e-12, "csr katz")
+    } finally sys.props.remove("graft.force.csr")
+  }
+
   test("hub-salted CSR tier == default tier on a skewed star graph") {
     import graft.apps.{PageRank, WCC}
     import spark.implicits._

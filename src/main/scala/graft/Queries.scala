@@ -600,6 +600,40 @@ object Queries {
         .otherwise(lit(0L)).as("ok"))
   }
 
+  /** Self-checking end-to-end dedup clustering (LSH pairs -> WCC ->
+    * canonical survivor; cluster ids ride the xxhash-dependent pair set,
+    * the CONTRACT does not): planting an exact copy of each of the first
+    * 20 docs, (a) every copy must land in its original's cluster — exact
+    * duplicates share all band buckets, so missing one is broken recall;
+    * (b) every cluster keeps EXACTLY its min-id member; (c) one output
+    * row per input doc. Constant-row oracle. */
+  def dDedupClusterCheck(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    // Planted ids start past max(doc_id) — see dSimhashCheck.
+    val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val planted = docs.where(col("doc_id") < 20)
+      .select((col("doc_id") + off).as("doc_id"), col("text"))
+    val all = docs.unionByName(planted)
+    val res = graft.text.Dedup.dedupClusters(all).localCheckpoint(true)
+    val a = res.toDF("ia", "ca", "ka")
+    val together = a.where(col("ia") < 20)
+      .join(res.toDF("ib", "cb", "kb"), col("ib") === col("ia") + off)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ca") === col("cb"), 1L).otherwise(0L)).as("eq"))
+      .head()
+    val aOk = together.getLong(0) == 20L && together.getLong(1) == 20L
+    val perCluster = res.groupBy(col("cluster")).agg(
+      sum(when(col("keep"), 1L).otherwise(0L)).as("keeps"),
+      min(col("doc_id")).as("mn"),
+      max(when(col("keep"), col("doc_id"))).as("kept"))
+    val bBad = perCluster
+      .where(col("keeps") =!= 1L || col("kept") =!= col("mn")).count()
+    val cOk = res.count() == all.count()
+    spark.range(1).select(
+      when(lit(aOk && bBad == 0L && cOk), lit(1L))
+        .otherwise(lit(0L)).as("ok"))
+  }
+
   def dFingerprint(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(col("doc_id"),
       graft.text.TextStats.fingerprint(col("text")).as("fingerprint"))
@@ -666,6 +700,25 @@ object Queries {
     val lsh = graft.sim.Ann.lshTopK(corpus, q, k = 10)
     val bf = graft.sim.Ann.bruteForceTopK(corpus, q, k = 10)
     lsh.select("q_id", "vec_id")
+      .join(bf.select("q_id", "vec_id"), Seq("q_id", "vec_id"),
+        "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .select(when(col("hits") >= lit(40L), lit(1L)).otherwise(lit(0L))
+        .as("ok"))
+  }
+
+  /** Self-checking IVF recall contract (centroids ride hash-sampled init
+    * + float means, so raw rows are not DuckDB-replayable — the CONTRACT
+    * is): probing nprobe=8 of nlist=16 inverted lists must recover ≥40%
+    * of the exact brute-force top-10 over the 10 probe queries (the
+    * e_ann_lsh pattern; AnnSpec holds the raw-rows oracle). */
+  def eAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val q = annQueries(spark, dir)
+    val ivf = graft.sim.Ann.ivfTopK(corpus, q, k = 10, nlist = 16,
+      nprobe = 8, iters = 2)
+    val bf = graft.sim.Ann.bruteForceTopK(corpus, q, k = 10)
+    ivf.select("q_id", "vec_id")
       .join(bf.select("q_id", "vec_id"), Seq("q_id", "vec_id"),
         "left_semi")
       .agg(count(lit(1)).as("hits"))

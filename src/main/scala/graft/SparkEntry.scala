@@ -88,9 +88,11 @@ object SparkEntry {
     "d_ngram_check" -> (Queries.dNgramCheck(_, _)),
     "d_fingerprint" -> (Queries.dFingerprint(_, _)),
     "d_fingerprint_check" -> (Queries.dFingerprintCheck(_, _)),
+    "d_dedup_cluster_check" -> (Queries.dDedupClusterCheck(_, _)),
     // Similarity search over embeddings
     "e_ann_topk" -> (Queries.eAnnTopk(_, _)),
     "e_ann_lsh" -> (Queries.eAnnLsh(_, _)),
+    "e_ann_ivf" -> (Queries.eAnnIvf(_, _)),
     "e_cos_neardup" -> (Queries.eCosNearDup(_, _)),
     // Multimodal binary-column plumbing (ALL real pure-JVM decodes:
     // imageio for images, javax.sound.sampled WAV for audio, RIFF/AVI +
@@ -138,6 +140,7 @@ object SparkEntry {
     "g_louvain_check" -> OracleSql.louvainCheck,
     "g_dfs_check" -> OracleSql.gDfsCheck,
     "d_fingerprint_check" -> OracleSql.dFingerprintCheck,
+    "d_dedup_cluster_check" -> OracleSql.dDedupClusterCheck,
     "m_audio_decode_check" -> OracleSql.mAudioDecodeCheck,
     "m_video_decode_check" -> OracleSql.mVideoDecodeCheck,
     "g_pregel_pagerank" -> OracleSql.pregelPagerank(),
@@ -166,6 +169,7 @@ object SparkEntry {
     "e_cos_neardup" -> OracleSql.eCosNearDup,
     "e_ann_topk" -> OracleSql.eAnnTopk,
     "e_ann_lsh" -> OracleSql.eAnnLshOk,
+    "e_ann_ivf" -> OracleSql.eAnnIvfOk,
     "d_minhash_check" -> OracleSql.dMinhashCheck,
     "d_simhash_check" -> OracleSql.dSimhashCheck,
     "d_ngram_check" -> OracleSql.dNgramCheck,

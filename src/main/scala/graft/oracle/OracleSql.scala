@@ -799,6 +799,8 @@ object OracleSql {
     * near-dup avg Hamming ≤ 8 with distinct-doc avg ≥ 12; image decode
     * recovers exact dims + unit histogram from real PNG bytes. */
   val eAnnLshOk: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
+  val eAnnIvfOk: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
+  val dDedupClusterCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
   val louvainCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
   val dMinhashCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
   val dSimhashCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"

@@ -95,6 +95,83 @@ object Ann {
       .select("q_id", "vec_id", "cos", "rank")
   }
 
+  /** IVF (inverted-file) ANN top-k — the standard coarse-quantizer scale
+    * path alongside LSH: `nlist` centroids (deterministic hash-sampled
+    * init, `iters` Lloyd refinement rounds — pure DataFrame
+    * aggregations), the corpus assigned once to its max-cosine centroid
+    * (the inverted lists; at 100 TB a write-side clustering key built in
+    * one scan per index build), and each query probing only its `nprobe`
+    * nearest lists with an exact cosine re-rank inside them. The
+    * centroid table is `nlist` rows — broadcast everywhere it appears;
+    * the wide embedding arrays never shuffle (assignment keeps ids only,
+    * embeddings re-attach by key). */
+  def ivfTopK(
+      corpus: DataFrame, // (vec_id, embedding)
+      queries: DataFrame, // (q_id, q_embedding)
+      k: Int = 10,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 2): DataFrame = {
+    // Init: the nlist corpus vectors with the smallest xxhash64(vec_id) —
+    // a uniform, partitioning-stable sample. The nlist-row sort that
+    // assigns cids is a single tiny exchange.
+    val wInit = Window.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    var centroids = corpus
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nlist)
+      .select((row_number().over(wInit) - 1).as("cid"),
+        col("embedding").as("centroid"))
+      .localCheckpoint(true)
+
+    // (vec_id, cid): nearest (max-cosine) centroid per corpus vector.
+    // Ids only — the embedding re-attaches by key where needed.
+    def assign(): DataFrame = corpus
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"),
+        struct(cosine(col("embedding"), col("centroid")).as("c"),
+          (-col("cid")).as("nc")).as("s"))
+      .groupBy("vec_id").agg(max(col("s")).as("s"))
+      .select(col("vec_id"), (-col("s.nc")).cast("int").as("cid"))
+
+    for (_ <- 0 until iters) {
+      // Lloyd round: element-wise mean of each list's members.
+      val next = assign()
+        .join(corpus, "vec_id")
+        .select(col("cid"), posexplode(col("embedding")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cid")).agg(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s("m").cast("float")).as("centroid"))
+        .localCheckpoint(true)
+      // Empty lists drop out (classic k-means); probes and lists stay
+      // consistent because both sides use the same centroid table.
+      centroids = next
+    }
+
+    val lists = assign() // the inverted file: (vec_id, cid)
+
+    // Each query probes its nprobe max-cosine lists.
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("qc").desc, col("cid").asc)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("q_embedding"), col("cid"),
+        cosine(col("q_embedding"), col("centroid")).as("qc"))
+      .withColumn("pr", row_number().over(wProbe))
+      .where(col("pr") <= nprobe)
+      .select("q_id", "q_embedding", "cid")
+
+    val cand = lists.join(broadcast(probes), Seq("cid"))
+      .where(col("vec_id") =!= col("q_id"))
+      .join(corpus, "vec_id")
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("embedding"), col("q_embedding")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "vec_id", "cos", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup use-case): bucket both
     * sides into `tables` SRP tables, pair within (table, bucket),
     * threshold on exact cosine. High per-pair recall for near-identical

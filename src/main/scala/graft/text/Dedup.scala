@@ -95,6 +95,44 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** End-to-end fuzzy-dedup clustering — the operation a 100 TB training-
+    * data pipeline actually runs on top of pair generation: MinHash+LSH
+    * candidate pairs ([[minhashPairs]]) become an undirected document-pair
+    * graph; connected components over it assign a cluster id per document;
+    * the minimum doc id in each cluster is the canonical survivor.
+    *
+    * Both phases are the proven scale paths: the banded LSH join never
+    * materializes all-pairs, and the WCC superstep rides the tiered
+    * strategy (broadcast/shuffle/CSR) — near-dup clusters are shallow, so
+    * the min-id propagation converges in a handful of rounds over a pair
+    * relation that is a sliver of |docs|. Exact duplicates share every
+    * band bucket and therefore always land in one cluster.
+    *
+    * @return one row per input doc: (idCol, cluster, keep) — `keep` marks
+    *         the min-id survivor; singletons keep themselves. */
+  def dedupClusters(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 5,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.7,
+      maxBucket: Int = 64): DataFrame = {
+    val pairs =
+      minhashPairs(docs, idCol, textCol, k, numHashes, bands, threshold,
+        maxBucket)
+    val g = graft.graph.SimpleGraph(
+      docs.select(col(idCol).as("vid")),
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+      directed = false)
+    // WCC closes the pair relation symmetrically and labels each
+    // component by its minimum vid (partition-invariant).
+    graft.apps.WCC.run(g).select(
+      col("vid").as(idCol), col("comp").as("cluster"),
+      (col("vid") === col("comp")).as("keep"))
+  }
+
   /** 64-bit SimHash of the whitespace-token multiset — Charikar 2002: per
     * bit position j, the sign of Σ_tokens (±1 by bit j of the token hash).
     *

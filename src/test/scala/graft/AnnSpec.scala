@@ -56,6 +56,30 @@ class AnnSpec extends SparkSpec {
     assert(mean >= 0.5, s"mean LSH recall $mean (per-query $recalls)")
   }
 
+  test("ivf top-k recalls most of the exact top-10 and never fabricates") {
+    val got = Ann.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 8,
+      iters = 2).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val recalls = (0L until 5L).map { q =>
+      val exact = exactTopK(q, 10).toSet
+      got.getOrElse(q, Set.empty).intersect(exact).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"mean IVF recall $mean (per-query $recalls)")
+    // Every returned (q, v) cosine must be exact (IVF re-ranks exactly
+    // inside the probed lists — no approximate scores).
+    val rows = Ann.ivfTopK(emb, queries, k = 3, nlist = 16, nprobe = 8,
+      iters = 2).collect()
+    rows.foreach { r =>
+      val want = cos(vecs(r.getLong(0)), vecs(r.getLong(1)))
+      // 1e-5: Spark's dot multiplies floats before the double accumulate;
+      // the JVM oracle multiplies doubles.
+      assert(math.abs(r.getDouble(2) - want) < 1e-5,
+        s"ivf cosine must be exact for (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
   test("cosine near-dup pairs are symmetric-free and above threshold") {
     val pairs = Ann.cosineNearDupPairs(emb, threshold = 0.9, planes = 8)
       .collect()

@@ -37,6 +37,23 @@ class TextOpsSpec extends SparkSpec {
       s"unrelated doc must not pair: $pairs")
   }
 
+  test("dedupClusters: transitive near-dup clusters, min-id survivor, " +
+      "singletons intact") {
+    // 1-2 near, 1-4 exact, 3 unrelated, 9 unrelated: expect cluster
+    // {1,2,4} (via transitivity through 1) keeping 1, and {3}, {9}
+    // keeping themselves.
+    val docs = docsDF(Seq(1L -> near1, 2L -> near2, 3L -> other,
+      4L -> near1, 9L -> "nothing like anything else here at all"))
+    val got = dedupClusters(docs, threshold = 0.5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 9L), "one row per doc")
+    assert(got(1L) == (1L, true), s"min-id survivor: $got")
+    assert(got(4L) == (1L, false), s"exact dup joins cluster 1: $got")
+    assert(got(2L)._1 == 1L, s"near dup clusters transitively: $got")
+    assert(got(3L) == (3L, true) && got(9L) == (9L, true),
+      s"singletons keep themselves: $got")
+  }
+
   test("minhash estimated jaccard ~ true shingle jaccard") {
     def shingles(s: String, k: Int = 5): Set[String] =
       (0 to s.length - k).map(i => s.substring(i, i + k)).toSet

@@ -46,6 +46,34 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Broadcast"), s"no broadcast in:\n$plan")
   }
 
+  test("IVF probes broadcast centroids + probe set; embeddings UDF-free") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    val plan = executedPlan(
+      graft.sim.Ann.ivfTopK(emb, q, k = 5, nlist = 8, nprobe = 4,
+        iters = 1))
+    assert(plan.contains("Broadcast"), s"no broadcast in:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      "UDF in the IVF path")
+    // The nlist-row centroid side must never be the build side of a
+    // sort-merge join against the corpus.
+    assert(!plan.contains("CartesianProduct"),
+      s"non-broadcast cross join in:\n$plan")
+  }
+
+  test("dedupClusters pair generation is UDF-free with no cross join") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa bb cc dd ee"), (2L, "aa bb cc dd ff"),
+      (3L, "zz yy xx ww vv")).toDF("doc_id", "text")
+    val plan = executedPlan(graft.text.Dedup.dedupClusters(docs))
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      "UDF in the dedup path")
+    assert(!plan.contains("CartesianProduct"),
+      s"all-pairs cross join in:\n$plan")
+  }
+
   test("superstep aggregation is map-side combined (partial + final)") {
     val g = graphbuild.CoPurchase.graph(spark, dir)
     val contrib = g.edges

@@ -80,6 +80,17 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("ivf degenerates gracefully when the corpus is smaller than nlist") {
+    val tiny = emb.where(col("vec_id") < 5)
+    val got = Ann.ivfTopK(tiny, queries, k = 3, nlist = 16, nprobe = 16,
+      iters = 1).collect()
+    // 5 vectors -> 5 centroids max; probing all lists == brute force.
+    val want = Ann.bruteForceTopK(tiny, queries, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      == want, "tiny-corpus IVF must equal brute force")
+  }
+
   test("cosine near-dup pairs are symmetric-free and above threshold") {
     val pairs = Ann.cosineNearDupPairs(emb, threshold = 0.9, planes = 8)
       .collect()

@@ -54,6 +54,15 @@ class TextOpsSpec extends SparkSpec {
       s"singletons keep themselves: $got")
   }
 
+  test("dedupClusters: all-distinct corpus degenerates to all singletons") {
+    val docs = docsDF(Seq(1L -> near1, 5L -> other,
+      9L -> "unrelated third text entirely about databases and storage"))
+    val got = dedupClusters(docs, threshold = 0.5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got == Map(1L -> (1L, true), 5L -> (5L, true),
+      9L -> (9L, true)), s"empty pair set must yield singletons: $got")
+  }
+
   test("minhash estimated jaccard ~ true shingle jaccard") {
     def shingles(s: String, k: Int = 5): Set[String] =
       (0 to s.length - k).map(i => s.substring(i, i + k)).toSet

@@ -850,4 +850,56 @@ object Queries {
     * TextStats profiles). */
   def dLangId(spark: SparkSession, dir: String): DataFrame =
     graft.text.TextStats.langId(t(spark, dir, "documents"))
+
+  /** Self-checking durable snapshot sink — the seal-class result sink
+    * (reference: TO_VINEYARD_TENSOR/_DATAFRAME dag_utils.py:729-757,
+    * WRITE_ODPS(61) query_flow.proto) as an Iceberg-style versioned
+    * table (graft.sources.SnapshotTable). Exercises the full lifecycle
+    * on the documents table in a scratch dir: create/append/overwrite
+    * commits, manifest-file-list reads (a planted uncommitted data dir
+    * must stay invisible), time travel to both parents with exact
+    * content checksums, per-file lineage validation, and orphan vacuum.
+    * Emits ok=1 iff every contract holds (constant-row oracle pattern
+    * of i_estimate_count). */
+  def sSnapshotSinkCheck(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val even = docs.where(col("doc_id") % 2 === 0)
+    val odd = docs.where(col("doc_id") % 2 === 1)
+    val head = docs.where(col("doc_id") < 10)
+    val (nEven, nAll, nHead) = (even.count(), docs.count(), head.count())
+    def ck(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(xxhash64(col("doc_id"), col("text"))
+        .cast("decimal(38,0)"))).head().getDecimal(0)
+    val fullCk = ck(docs)
+    val root = java.nio.file.Files.createTempDirectory("graft-snap-check")
+    val table = root.resolve("t").toString
+    val ok = try {
+      val v1 = SnapshotTable.create(even, table)
+      val v2 = SnapshotTable.append(odd, table)
+      // an abandoned write: on disk under data/, referenced by no manifest
+      docs.limit(5).write.parquet(s"$table/data/orphan")
+      val v3 = SnapshotTable.overwrite(head, table)
+      SnapshotTable.validate(spark, table, v2)
+      SnapshotTable.validate(spark, table, v3)
+      val hist = SnapshotTable.snapshots(spark, table)
+      val histOk = hist.map(m => (m.version, m.operation, m.parentVersion)) ==
+        Seq((1, "create", -1), (2, "append", 1), (3, "overwrite", 2)) &&
+        (v1, v2, v3) == ((1, 2, 3))
+      val readsOk =
+        SnapshotTable.read(spark, table).count() == nHead &&
+        SnapshotTable.readVersion(spark, table, v2).count() == nAll &&
+        SnapshotTable.readVersion(spark, table, v1).count() == nEven &&
+        ck(SnapshotTable.readVersion(spark, table, v2)) == fullCk
+      val vacuumOk = SnapshotTable.vacuum(spark, table) == 1 &&
+        SnapshotTable.read(spark, table).count() == nHead
+      histOk && readsOk && vacuumOk
+    } finally {
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    spark.range(1)
+      .select((if (ok) lit(1L) else lit(0L)).as("ok"))
+  }
 }

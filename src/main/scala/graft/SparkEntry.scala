@@ -102,6 +102,8 @@ object SparkEntry {
     "m_image_decode_check" -> (Queries.mImageDecodeCheck(_, _)),
     "m_audio_decode_check" -> (Queries.mAudioDecodeCheck(_, _)),
     "m_video_decode_check" -> (Queries.mVideoDecodeCheck(_, _)),
+    // Durable sinks (§2.7): snapshot-versioned table (seal-class ops)
+    "s_snapshot_sink_check" -> (Queries.sSnapshotSinkCheck(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -143,6 +145,7 @@ object SparkEntry {
     "d_dedup_cluster_check" -> OracleSql.dDedupClusterCheck,
     "m_audio_decode_check" -> OracleSql.mAudioDecodeCheck,
     "m_video_decode_check" -> OracleSql.mVideoDecodeCheck,
+    "s_snapshot_sink_check" -> OracleSql.sSnapshotSinkCheck,
     "g_pregel_pagerank" -> OracleSql.pregelPagerank(),
     // aggregator-based full PageRank == the reference recurrence
     "g_pregel_pagerank_agg" -> OracleSql.pagerank(),

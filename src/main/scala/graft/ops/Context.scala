@@ -62,8 +62,14 @@ final case class VertexDataContext(
   }
 
   /** ctx.output(path, selectors) — write parquet/csv
-    * (framework/context.py:208-247). */
+    * (framework/context.py:208-247), or `format="snapshot"` for the
+    * durable versioned sink (the TO_VINEYARD_* / WRITE_ODPS seal-class
+    * op, dag_utils.py:729-757): an atomically-committed
+    * [[graft.sources.SnapshotTable]] snapshot with time travel. */
   def output(path: String, selectors: Map[String, String],
       format: String = "parquet"): Unit =
-    toDataFrame(selectors).write.mode("overwrite").format(format).save(path)
+    if (format == "snapshot")
+      graft.sources.SnapshotTable.overwrite(toDataFrame(selectors), path)
+    else
+      toDataFrame(selectors).write.mode("overwrite").format(format).save(path)
 }

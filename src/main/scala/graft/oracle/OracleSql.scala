@@ -930,4 +930,5 @@ object OracleSql {
   val dFingerprintCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
   val mAudioDecodeCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
   val mVideoDecodeCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
+  val sSnapshotSinkCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
 }

@@ -17,11 +17,20 @@ final case class IterMetrics(
     wallMs: Long)
 
 /** Where to durably checkpoint iteration state. `dir=None` keeps only
-  * in-memory `localCheckpoint`s (lineage cut, not resumable). */
+  * in-memory `localCheckpoint`s (lineage cut, not resumable).
+  * `snapshot=true` checkpoints through [[graft.sources.SnapshotTable]]
+  * instead of bare per-iteration parquet dirs: each superstep becomes an
+  * atomically-committed snapshot of one versioned table per runId, with
+  * the convergence metrics in the manifest summary and per-FILE lineage
+  * in the manifest itself — the north rule's "checkpoints per-iteration
+  * vertex state to Iceberg[-class tables] with per-partition lineage and
+  * convergence metrics for resumable runs" in one artifact, plus time
+  * travel to any earlier iteration's full vertex state. */
 final case class CheckpointConfig(
     dir: Option[String] = None,
     runId: String = "run",
-    every: Int = 1)
+    every: Int = 1,
+    snapshot: Boolean = false)
 
 /** The superstep driver loop — the Spark-side equivalent of the reference's
   * `DefaultWorker::Query` PEval/IncEval loop
@@ -84,11 +93,23 @@ object Iterate {
     var startRound = 0
     var state: DataFrame = null
     checkpoint.dir.foreach { d =>
-      val found = latestCheckpoint(d, checkpoint.runId)
-      found.foreach { case (round, path) =>
-        startRound = round
-        state = spark.read.parquet(path)
-        validateLineage(d, checkpoint.runId, round, state)
+      if (checkpoint.snapshot) {
+        val table = s"$d/${checkpoint.runId}"
+        graft.sources.SnapshotTable.currentVersionOpt(spark, table)
+          .foreach { v =>
+            val m = graft.sources.SnapshotTable.manifest(spark, table, v)
+            startRound = m.summary("iteration").toInt
+            graft.sources.SnapshotTable.validate(spark, table, v)
+            state = graft.sources.SnapshotTable
+              .readVersion(spark, table, v)
+          }
+      } else {
+        val found = latestCheckpoint(d, checkpoint.runId)
+        found.foreach { case (round, path) =>
+          startRound = round
+          state = spark.read.parquet(path)
+          validateLineage(d, checkpoint.runId, round, state)
+        }
       }
     }
     if (state == null) state = init.localCheckpoint(true)
@@ -125,10 +146,23 @@ object Iterate {
           s"changed=$changed wallMs=$wall")
       checkpoint.dir.foreach { d =>
         if (round % checkpoint.every == 0) {
-          state1.write.mode("overwrite")
-            .parquet(s"$d/${checkpoint.runId}/iter_$round")
-          appendMetrics(d, m)
-          appendLineage(d, checkpoint.runId, round, state1)
+          if (checkpoint.snapshot) {
+            graft.sources.SnapshotTable.overwrite(
+              state1, s"$d/${checkpoint.runId}",
+              summary = Map(
+                "runId" -> checkpoint.runId,
+                "iteration" -> round.toString,
+                "changed" -> changed.toString,
+                "stateRows" -> rows.toString,
+                "numPartitions" -> m.numPartitions.toString,
+                "wallMs" -> wall.toString))
+            appendMetrics(d, m)
+          } else {
+            state1.write.mode("overwrite")
+              .parquet(s"$d/${checkpoint.runId}/iter_$round")
+            appendMetrics(d, m)
+            appendLineage(d, checkpoint.runId, round, state1)
+          }
         }
       }
       if (prev ne init) prev.unpersist()

@@ -1,0 +1,347 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.Serialization
+
+/** A snapshot-versioned durable table — the in-sandbox re-expression of
+  * the reference's durable result sinks: vineyard seal ops
+  * (python/graphscope/framework/dag_utils.py:729-757
+  * TO_VINEYARD_TENSOR/_DATAFRAME) and the interactive engine's ODPS sink
+  * (interactive_engine/executor/.../query_flow.proto WRITE_ODPS(61)),
+  * with Iceberg-style table semantics (the north rule's checkpoint
+  * target): immutable parquet data files + a linear chain of JSON
+  * manifest commits, atomic put-if-absent publication, snapshot reads,
+  * time travel, rollback, snapshot expiry and orphan-file vacuum.
+  *
+  * Layout under the table root:
+  * {{{
+  *   data/<commit-uuid>/part-*.parquet   -- immutable, write-once
+  *   metadata/v00001.json ...            -- one manifest per snapshot
+  * }}}
+  *
+  * Scale posture (what makes this the 100 TB-shaped design):
+  *  - readers NEVER list the data directory — every read plans exactly
+  *    the manifest's file list, so uncommitted/failed writer output is
+  *    invisible and object-store LIST storms don't exist;
+  *  - a commit is one atomic metadata operation (hard-link create on
+  *    POSIX, destination-must-not-exist rename on HDFS-likes), so
+  *    concurrent writers conflict on the version file and the loser
+  *    retries against the new current snapshot — optimistic concurrency
+  *    exactly like Iceberg's;
+  *  - the manifest carries per-FILE lineage (row count + an
+  *    order-independent xxhash64 content checksum), computed
+  *    distributed (one agg row per file), so a resume/validate never
+  *    scans more than it would to read, and driver memory is O(files).
+  */
+object SnapshotTable {
+
+  /** One immutable data file: table-root-relative path + its lineage. */
+  final case class FileLineage(path: String, rows: Long, checksum: String)
+
+  /** One committed snapshot. `parentVersion` is -1 for the first.
+    * `summary` is caller metadata — the superstep runner records its
+    * per-iteration convergence metrics here (graft.pregel.Iterate). */
+  final case class Manifest(
+      version: Int,
+      parentVersion: Int,
+      operation: String, // create | append | overwrite | rollback
+      schemaJson: String,
+      files: Seq[FileLineage],
+      rows: Long,
+      summary: Map[String, String],
+      timestampMs: Long)
+
+  private implicit val fmts: Formats = DefaultFormats
+  private val MaxCommitAttempts = 8
+
+  // ---------------------------------------------------------------- write
+
+  /** Create a brand-new table; refuses to touch an existing one. */
+  def create(df: DataFrame, table: String,
+      summary: Map[String, String] = Map.empty): Int =
+    commit(df, table, "create", summary)
+
+  /** Append `df` as new data files; the new snapshot references the
+    * parent's files plus the new ones. Schema must match the table's. */
+  def append(df: DataFrame, table: String,
+      summary: Map[String, String] = Map.empty): Int =
+    commit(df, table, "append", summary)
+
+  /** Replace the table contents with `df`. Older snapshots stay
+    * readable via [[readVersion]] until [[expire]]d. Creates the table
+    * when it doesn't exist yet. */
+  def overwrite(df: DataFrame, table: String,
+      summary: Map[String, String] = Map.empty): Int =
+    commit(df, table, "overwrite", summary)
+
+  /** Publish a new snapshot whose file set is exactly `asOfVersion`'s
+    * (no data is rewritten — pure metadata, like Iceberg rollback). */
+  def rollback(spark: SparkSession, table: String, asOfVersion: Int): Int = {
+    val root = new Path(table)
+    val f = fileSystem(spark, root)
+    val old = manifest(spark, table, asOfVersion)
+    var attempt = 0
+    while (true) {
+      val curV = currentVersionOpt(spark, table).getOrElse(
+        throw new IllegalStateException(s"no table at $table"))
+      val m = Manifest(curV + 1, curV, "rollback", old.schemaJson,
+        old.files, old.rows,
+        Map("rolledBackTo" -> asOfVersion.toString),
+        System.currentTimeMillis())
+      if (tryPublish(f, root, m)) return m.version
+      attempt += 1
+      require(attempt < MaxCommitAttempts,
+        s"gave up after $attempt conflicting commits on $table")
+    }
+    -1 // unreachable
+  }
+
+  private def commit(df: DataFrame, table: String, op: String,
+      summary: Map[String, String]): Int = {
+    val spark = df.sparkSession
+    val root = new Path(table)
+    val f = fileSystem(spark, root)
+
+    // 1. Write the data files under a fresh uuid dir (invisible to every
+    //    reader until a manifest references them).
+    val uuid = java.util.UUID.randomUUID().toString
+    val dataDir = new Path(root, s"data/$uuid")
+    df.write.mode("errorifexists").parquet(dataDir.toString)
+
+    // 2. Lineage of what actually landed on disk (one agg row per file).
+    val onDisk = spark.read.parquet(dataDir.toString)
+    val newFiles = fileLineage(onDisk)
+    val schemaJson = onDisk.schema.json
+
+    // 3. Optimistic-concurrency manifest publication.
+    var attempt = 0
+    while (true) {
+      val curV = currentVersionOpt(spark, table)
+      val parent = curV.map(v => manifest(spark, table, v))
+      op match {
+        case "create" =>
+          require(parent.isEmpty, s"table $table already exists " +
+            s"(version ${curV.get}); use append/overwrite")
+        case "append" =>
+          val p = parent.getOrElse(throw new IllegalStateException(
+            s"cannot append: no table at $table"))
+          requireSameSchema(p.schemaJson, schemaJson, table)
+        case _ => () // overwrite creates or replaces
+      }
+      val files = parent match {
+        case Some(p) if op == "append" => p.files ++ newFiles
+        case _ => newFiles
+      }
+      val m = Manifest(curV.getOrElse(0) + 1, curV.getOrElse(-1), op,
+        schemaJson, files, files.map(_.rows).sum, summary,
+        System.currentTimeMillis())
+      if (tryPublish(f, root, m)) return m.version
+      attempt += 1
+      require(attempt < MaxCommitAttempts,
+        s"gave up after $attempt conflicting commits on $table")
+    }
+    -1 // unreachable
+  }
+
+  /** Per-file (rows, content checksum) of a just-written commit dir —
+    * distributed, returns one row per file, never data rows. The
+    * checksum is the sum of per-row xxhash64 in DECIMAL(38,0)
+    * (order-independent, ANSI-overflow-safe — same contract as the
+    * superstep lineage in graft.pregel.Iterate). */
+  private def fileLineage(onDisk: DataFrame): Seq[FileLineage] = {
+    val cols = onDisk.columns.map(col)
+    onDisk
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("rows"),
+        sum(xxhash64(cols: _*).cast("decimal(38,0)")).as("checksum"))
+      .collect()
+      .toSeq
+      .map(r => FileLineage(relativize(r.getString(0)), r.getLong(1),
+        r.getDecimal(2).toBigInteger.toString))
+      .sortBy(_.path)
+  }
+
+  /** table-root-relative path of a data-file URI. Every data file lives
+    * at <root>/data/<uuid>/<name> and the uuid cannot contain "/data/",
+    * so the LAST occurrence is ours even when the table path itself
+    * contains a /data/ segment. */
+  private def relativize(fileUri: String): String = {
+    val i = fileUri.lastIndexOf("/data/")
+    require(i >= 0, s"not a table data file: $fileUri")
+    fileUri.substring(i + 1)
+  }
+
+  /** Atomic put-if-absent of the manifest: write a hidden tmp file, then
+    * publish. POSIX: hard-link create (atomic, fails when the target
+    * exists). HDFS-likes: rename, which fails when the destination
+    * exists. The loser of a race sees `false` and retries with a
+    * re-read current version. */
+  private def tryPublish(f: FileSystem, root: Path, m: Manifest): Boolean = {
+    val metaDir = new Path(root, "metadata")
+    f.mkdirs(metaDir)
+    val tmp = new Path(metaDir,
+      s".tmp-${m.version}-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(Serialization.write(m).getBytes(UTF_8))
+    finally out.close()
+    val target = manifestPath(root, m.version)
+    val published =
+      if (f.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else {
+        try f.rename(tmp, target)
+        catch { case _: java.io.IOException => false }
+      }
+    f.delete(tmp, false)
+    published
+  }
+
+  private def requireSameSchema(tableJson: String, dfJson: String,
+      table: String): Unit = {
+    def key(j: String) = DataType.fromJson(j).asInstanceOf[StructType]
+      .fields.toSeq.map(f => (f.name, f.dataType.sql))
+    require(key(tableJson) == key(dfJson),
+      s"append schema mismatch on $table:\n  table: ${key(tableJson)}" +
+        s"\n  data:  ${key(dfJson)}")
+  }
+
+  // ----------------------------------------------------------------- read
+
+  /** Current snapshot. Plans exactly the manifest's file list — no
+    * directory listing, uncommitted data invisible. */
+  def read(spark: SparkSession, table: String): DataFrame =
+    readVersion(spark, table, currentVersionOpt(spark, table).getOrElse(
+      throw new IllegalStateException(s"no table at $table")))
+
+  /** Time travel to any retained snapshot. */
+  def readVersion(spark: SparkSession, table: String, version: Int)
+      : DataFrame = {
+    val m = manifest(spark, table, version)
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    if (m.files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+    else {
+      val root = new Path(table)
+      val paths = m.files.map(fl => new Path(root, fl.path).toString)
+      spark.read.schema(schema).parquet(paths: _*)
+    }
+  }
+
+  /** All retained snapshots, oldest first. */
+  def snapshots(spark: SparkSession, table: String): Seq[Manifest] =
+    listVersions(spark, table).map(v => manifest(spark, table, v))
+
+  def currentVersionOpt(spark: SparkSession, table: String): Option[Int] = {
+    val vs = listVersions(spark, table)
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  def manifest(spark: SparkSession, table: String, version: Int): Manifest = {
+    val root = new Path(table)
+    val f = fileSystem(spark, root)
+    val p = manifestPath(root, version)
+    require(f.exists(p), s"no snapshot v$version at $table (expired?)")
+    val in = f.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    Serialization.read[Manifest](new String(bytes, UTF_8))
+  }
+
+  /** Re-derive every file's (rows, checksum) of a snapshot and compare
+    * with its manifest lineage — refuses silently-corrupted or truncated
+    * data exactly like the superstep resume validation. */
+  def validate(spark: SparkSession, table: String, version: Int): Unit = {
+    val m = manifest(spark, table, version)
+    if (m.files.isEmpty) return
+    val got = fileLineage(readVersion(spark, table, version)).toSet
+    val want = m.files.toSet
+    require(got == want,
+      s"snapshot v$version of $table contradicts its lineage:\n" +
+        s"  manifest: ${want.toSeq.sortBy(_.path)}\n" +
+        s"  on disk:  ${got.toSeq.sortBy(_.path)}")
+  }
+
+  // ---------------------------------------------------------- maintenance
+
+  /** Drop all but the newest `keepLast` snapshots: their manifests are
+    * deleted and any data directory referenced ONLY by dropped snapshots
+    * is removed. Returns (#manifests, #dataDirs) removed. */
+  def expire(spark: SparkSession, table: String, keepLast: Int)
+      : (Int, Int) = {
+    require(keepLast >= 1, "must retain at least the current snapshot")
+    val root = new Path(table)
+    val f = fileSystem(spark, root)
+    val vs = listVersions(spark, table)
+    val dropped = vs.dropRight(keepLast)
+    if (dropped.isEmpty) return (0, 0)
+    val keptDirs = vs.takeRight(keepLast)
+      .flatMap(v => manifest(spark, table, v).files.map(dataDirOf))
+      .toSet
+    val droppedDirs = dropped
+      .flatMap(v => manifest(spark, table, v).files.map(dataDirOf))
+      .toSet -- keptDirs
+    droppedDirs.foreach(d => f.delete(new Path(root, d), true))
+    dropped.foreach(v => f.delete(manifestPath(root, v), false))
+    (dropped.size, droppedDirs.size)
+  }
+
+  /** Delete data directories referenced by NO retained snapshot —
+    * leftovers of failed/abandoned writes. Single-maintainer operation
+    * (a concurrent writer's not-yet-committed directory would be
+    * collected; same caveat as Iceberg's remove_orphan_files). Returns
+    * the number of directories removed. */
+  def vacuum(spark: SparkSession, table: String): Int = {
+    val root = new Path(table)
+    val f = fileSystem(spark, root)
+    val referenced = snapshots(spark, table)
+      .flatMap(_.files.map(dataDirOf)).toSet
+    val dataRoot = new Path(root, "data")
+    if (!f.exists(dataRoot)) return 0
+    val onDisk = f.listStatus(dataRoot).toSeq
+      .filter(_.isDirectory)
+      .map(s => s"data/${s.getPath.getName}")
+    val orphans = onDisk.filterNot(referenced)
+    orphans.foreach(d => f.delete(new Path(root, d), true))
+    orphans.size
+  }
+
+  // ------------------------------------------------------------- plumbing
+
+  private def dataDirOf(fl: FileLineage): String = {
+    val i = fl.path.lastIndexOf('/')
+    fl.path.substring(0, i)
+  }
+
+  private def manifestPath(root: Path, version: Int): Path =
+    new Path(root, f"metadata/v$version%05d.json")
+
+  private def listVersions(spark: SparkSession, table: String): Seq[Int] = {
+    val root = new Path(table)
+    val f = fileSystem(spark, root)
+    val metaDir = new Path(root, "metadata")
+    if (!f.exists(metaDir)) return Seq.empty
+    val re = """v(\d+)\.json""".r
+    f.listStatus(metaDir).toSeq.flatMap { s =>
+      s.getPath.getName match {
+        case re(n) => Some(n.toInt)
+        case _ => None
+      }
+    }.sorted
+  }
+
+  private def fileSystem(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+}

@@ -1,0 +1,268 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.Comparator
+
+import graft.pregel.{CheckpointConfig, Iterate}
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.functions._
+
+/** Snapshot-versioned durable sink: commit atomicity, time travel,
+  * lineage validation, maintenance ops, and the superstep-checkpoint
+  * integration. */
+class SnapshotTableSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmpTable(prefix: String): String =
+    Files.createTempDirectory(prefix).resolve("t").toString
+
+  private def docs(ids: Range) =
+    ids.map(i => (i.toLong, s"text-$i")).toDF("id", "text")
+
+  /** Replace a data file's bytes in place, removing the Hadoop local-FS
+    * CRC sidecar so the swap is invisible to transport-level checksums —
+    * only the manifest lineage can catch it (the property under test). */
+  private def tamper(victim: java.nio.file.Path,
+      replacement: java.nio.file.Path): Unit = {
+    Files.copy(replacement, victim,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val crc = victim.getParent.resolve(s".${victim.getFileName}.crc")
+    Files.deleteIfExists(crc)
+    val rcrc = replacement.getParent
+      .resolve(s".${replacement.getFileName}.crc")
+    if (Files.exists(rcrc))
+      Files.copy(rcrc, crc,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def rmrf(dir: String): Unit = {
+    val base = Paths.get(dir).getParent
+    if (Files.exists(base))
+      Files.walk(base).sorted(Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+  }
+
+  test("create + append + overwrite with time travel") {
+    val t = tmpTable("snap-basic")
+    try {
+      val v1 = SnapshotTable.create(docs(0 until 10), t)
+      val v2 = SnapshotTable.append(docs(10 until 25), t)
+      val v3 = SnapshotTable.overwrite(docs(100 until 103), t)
+      assert((v1, v2, v3) == ((1, 2, 3)))
+
+      assert(SnapshotTable.read(spark, t).count() == 3)
+      assert(SnapshotTable.readVersion(spark, t, 2).count() == 25)
+      assert(SnapshotTable.readVersion(spark, t, 1).count() == 10)
+      // content, not just counts
+      assert(SnapshotTable.readVersion(spark, t, 2)
+        .agg(sum("id")).head().getLong(0) == (0 until 25).sum)
+
+      val hist = SnapshotTable.snapshots(spark, t)
+      assert(hist.map(_.version) == Seq(1, 2, 3))
+      assert(hist.map(_.operation) == Seq("create", "append", "overwrite"))
+      assert(hist.map(_.parentVersion) == Seq(-1, 1, 2))
+      assert(hist(1).rows == 25, "append manifest carries cumulative rows")
+
+      // every snapshot validates against its recorded lineage
+      (1 to 3).foreach(v => SnapshotTable.validate(spark, t, v))
+    } finally rmrf(t)
+  }
+
+  test("uncommitted data files are invisible to every reader") {
+    val t = tmpTable("snap-orphan")
+    try {
+      SnapshotTable.create(docs(0 until 8), t)
+      // a failed/abandoned write: data landed, no manifest references it
+      docs(1000 until 1100).write.parquet(s"$t/data/orphan-dir")
+      assert(SnapshotTable.read(spark, t).count() == 8,
+        "reader must plan the manifest file list, not the directory")
+      // vacuum collects exactly the orphan
+      assert(SnapshotTable.vacuum(spark, t) == 1)
+      assert(!Files.exists(Paths.get(t, "data", "orphan-dir")))
+      assert(SnapshotTable.read(spark, t).count() == 8)
+      assert(SnapshotTable.vacuum(spark, t) == 0)
+    } finally rmrf(t)
+  }
+
+  test("append refuses a schema mismatch; create refuses an existing table") {
+    val t = tmpTable("snap-schema")
+    try {
+      SnapshotTable.create(docs(0 until 5), t)
+      val bad = Seq((1L, 2L)).toDF("id", "n")
+      val e = intercept[IllegalArgumentException] {
+        SnapshotTable.append(bad, t)
+      }
+      assert(e.getMessage.contains("schema mismatch"))
+      val e2 = intercept[IllegalArgumentException] {
+        SnapshotTable.create(docs(0 until 5), t)
+      }
+      assert(e2.getMessage.contains("already exists"))
+    } finally rmrf(t)
+  }
+
+  test("a racing commit loses the version and retries onto the next one") {
+    val t = tmpTable("snap-race")
+    try {
+      SnapshotTable.create(docs(0 until 5), t)
+      // Simulate a concurrent writer that already published v2: the next
+      // append must detect the occupied slot and land at v3 with v2 as
+      // its parent (re-read, not overwrite).
+      val stolen = SnapshotTable.overwrite(docs(50 until 60), t)
+      assert(stolen == 2)
+      val v = SnapshotTable.append(docs(5 until 10), t)
+      assert(v == 3)
+      val m = SnapshotTable.manifest(spark, t, 3)
+      assert(m.parentVersion == 2)
+      assert(SnapshotTable.read(spark, t).count() == 15,
+        "append chained onto the interleaved overwrite, not the stale parent")
+    } finally rmrf(t)
+  }
+
+  test("put-if-absent: a manually occupied version slot is never clobbered") {
+    val t = tmpTable("snap-slot")
+    try {
+      SnapshotTable.create(docs(0 until 3), t)
+      val marker = Paths.get(t, "metadata", "v00002.json")
+      // occupy v2 with a valid manifest copied from v1
+      Files.copy(Paths.get(t, "metadata", "v00001.json"), marker)
+      val bytes = Files.readAllBytes(marker)
+      val v = SnapshotTable.append(docs(3 until 6), t)
+      assert(v == 3, "writer skipped the occupied slot")
+      assert(Files.readAllBytes(marker).sameElements(bytes),
+        "occupied manifest bytes untouched")
+    } finally rmrf(t)
+  }
+
+  test("validate refuses a snapshot whose data files were tampered with") {
+    val t = tmpTable("snap-tamper")
+    try {
+      SnapshotTable.create(docs(0 until 20), t)
+      SnapshotTable.validate(spark, t, 1)
+      // Rewrite one data file with different rows, keeping the name.
+      val m = SnapshotTable.manifest(spark, t, 1)
+      val victim = Paths.get(t, m.files.head.path)
+      val fresh = Files.createTempDirectory("snap-fresh")
+      docs(900 until 920).coalesce(1).write
+        .mode("overwrite").parquet(fresh.toString)
+      val replacement = Files.list(fresh.resolve("."))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      tamper(victim, replacement)
+      val e = intercept[IllegalArgumentException] {
+        SnapshotTable.validate(spark, t, 1)
+      }
+      assert(e.getMessage.contains("contradicts its lineage"))
+    } finally rmrf(t)
+  }
+
+  test("expire drops old snapshots and exactly their unshared data dirs") {
+    val t = tmpTable("snap-expire")
+    try {
+      SnapshotTable.create(docs(0 until 4), t) // files A
+      SnapshotTable.append(docs(4 until 8), t) // files A+B
+      SnapshotTable.overwrite(docs(8 until 12), t) // files C
+      val (manifests, dataDirs) = SnapshotTable.expire(spark, t, keepLast = 2)
+      assert(manifests == 1, "v1 dropped")
+      assert(dataDirs == 0, "v1's files still referenced by v2's append")
+      // v1 gone, v2/v3 intact
+      intercept[IllegalArgumentException] {
+        SnapshotTable.readVersion(spark, t, 1)
+      }
+      assert(SnapshotTable.readVersion(spark, t, 2).count() == 8)
+      assert(SnapshotTable.read(spark, t).count() == 4)
+
+      val (m2, d2) = SnapshotTable.expire(spark, t, keepLast = 1)
+      assert(m2 == 1, "v2 dropped")
+      assert(d2 == 2, "A and B now unreferenced; C retained")
+      assert(SnapshotTable.read(spark, t).count() == 4)
+      SnapshotTable.validate(spark, t, 3)
+    } finally rmrf(t)
+  }
+
+  test("rollback publishes an old file set as the new current snapshot") {
+    val t = tmpTable("snap-rollback")
+    try {
+      SnapshotTable.create(docs(0 until 6), t)
+      SnapshotTable.overwrite(docs(100 until 102), t)
+      val v = SnapshotTable.rollback(spark, t, 1)
+      assert(v == 3)
+      assert(SnapshotTable.read(spark, t).count() == 6)
+      assert(SnapshotTable.manifest(spark, t, 3).summary
+        .get("rolledBackTo").contains("1"))
+      SnapshotTable.validate(spark, t, 3)
+    } finally rmrf(t)
+  }
+
+  test("empty dataframe commits cleanly and reads back empty with schema") {
+    val t = tmpTable("snap-empty")
+    try {
+      SnapshotTable.create(docs(0 until 0), t)
+      val back = SnapshotTable.read(spark, t)
+      assert(back.count() == 0)
+      assert(back.columns.toSeq == Seq("id", "text"))
+      SnapshotTable.validate(spark, t, 1)
+    } finally rmrf(t)
+  }
+
+  test("table is relocatable: manifests store root-relative paths") {
+    val t = tmpTable("snap-move")
+    try {
+      SnapshotTable.create(docs(0 until 7), t)
+      val moved = Files.createTempDirectory("snap-moved").resolve("t")
+      Files.move(Paths.get(t), moved)
+      try {
+        assert(SnapshotTable.read(spark, moved.toString).count() == 7)
+        SnapshotTable.validate(spark, moved.toString, 1)
+      } finally rmrf(moved.toString)
+    } finally rmrf(t)
+  }
+
+  test("Iterate snapshot mode: per-iteration commits, resume, metrics") {
+    val dir = Files.createTempDirectory("snap-iter").toString
+    val init = Seq((1L, 0), (2L, 0)).toDF("vid", "n")
+    val step = (s: org.apache.spark.sql.DataFrame, _: Int) =>
+      s.select(col("vid"), (col("n") + 1).as("n"))
+    val cp = CheckpointConfig(Some(dir), runId = "r1", snapshot = true)
+    // First run: 4 rounds -> snapshots v1..v4.
+    val first = Iterate.run(init, 4, step,
+      stopWhenUnchanged = false, checkpoint = cp)
+    assert(first.state.head().getInt(1) == 4)
+    val table = s"$dir/r1"
+    val hist = SnapshotTable.snapshots(spark, table)
+    assert(hist.map(_.version) == Seq(1, 2, 3, 4))
+    assert(hist.map(_.summary("iteration")) == Seq("1", "2", "3", "4"),
+      "each snapshot carries its superstep's convergence metrics")
+    assert(hist.forall(_.summary.contains("wallMs")))
+    // Any earlier iteration's full vertex state is time-travelable.
+    assert(SnapshotTable.readVersion(spark, table, 2)
+      .agg(sum("n")).head().getLong(0) == 4)
+
+    // Resume: rounds 5..6 only, chained onto the validated v4 state.
+    val resumed = Iterate.run(init, 6, step,
+      stopWhenUnchanged = false, checkpoint = cp)
+    assert(resumed.state.orderBy("vid").collect().map(_.getInt(1)).toSeq
+      == Seq(6, 6))
+    assert(resumed.metrics.size == 2, "only rounds 5..6 re-ran")
+    assert(SnapshotTable.currentVersionOpt(spark, table).contains(6))
+  }
+
+  test("Iterate snapshot mode refuses to resume from tampered state") {
+    val dir = Files.createTempDirectory("snap-iter-bad").toString
+    val init = Seq((1L, 0)).toDF("vid", "n")
+    val step = (s: org.apache.spark.sql.DataFrame, _: Int) =>
+      s.select(col("vid"), (col("n") + 1).as("n"))
+    val cp = CheckpointConfig(Some(dir), runId = "r1", snapshot = true)
+    Iterate.run(init, 3, step, stopWhenUnchanged = false, checkpoint = cp)
+    val table = s"$dir/r1"
+    // Swap v3's data file for v1's (same schema, different content).
+    val m3 = SnapshotTable.manifest(spark, table, 3)
+    val m1 = SnapshotTable.manifest(spark, table, 1)
+    tamper(Paths.get(table, m3.files.head.path),
+      Paths.get(table, m1.files.head.path))
+    val e = intercept[IllegalArgumentException] {
+      Iterate.run(init, 5, step, stopWhenUnchanged = false, checkpoint = cp)
+    }
+    assert(e.getMessage.contains("contradicts its lineage"))
+  }
+}

@@ -180,15 +180,19 @@ object SnapshotTable {
   /** Atomic put-if-absent of the manifest: write a hidden tmp file, then
     * publish. POSIX: hard-link create (atomic, fails when the target
     * exists). HDFS-likes: rename, which fails when the destination
-    * exists. The loser of a race sees `false` and retries with a
-    * re-read current version. */
+    * exists (HDFS contract) — plus a read-back confirmation as defense
+    * for stores whose rename CAN overwrite (an overwritten loser sees
+    * foreign bytes and retries at the next version instead of silently
+    * believing its commit landed). The loser of a race sees `false` and
+    * retries with a re-read current version. */
   private def tryPublish(f: FileSystem, root: Path, m: Manifest): Boolean = {
     val metaDir = new Path(root, "metadata")
     f.mkdirs(metaDir)
+    val bytes = Serialization.write(m).getBytes(UTF_8)
     val tmp = new Path(metaDir,
       s".tmp-${m.version}-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
-    try out.write(Serialization.write(m).getBytes(UTF_8))
+    try out.write(bytes)
     finally out.close()
     val target = manifestPath(root, m.version)
     val published =
@@ -202,8 +206,17 @@ object SnapshotTable {
           case _: java.nio.file.FileAlreadyExistsException => false
         }
       } else {
-        try f.rename(tmp, target)
-        catch { case _: java.io.IOException => false }
+        val renamed =
+          if (f.exists(target)) false
+          else {
+            try f.rename(tmp, target)
+            catch { case _: java.io.IOException => false }
+          }
+        renamed && {
+          val in = f.open(target)
+          val got = try in.readAllBytes() finally in.close()
+          java.util.Arrays.equals(got, bytes)
+        }
       }
     f.delete(tmp, false)
     published

@@ -218,6 +218,34 @@ class SnapshotTableSpec extends SparkSpec {
     } finally rmrf(t)
   }
 
+  test("hdfs-like scheme: full lifecycle through the rename publish path") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mockfs.impl", classOf[MockHdfsLikeFs].getName)
+    val local = Files.createTempDirectory("snap-mockfs").resolve("t")
+    val t = s"mockfs://$local"
+    try {
+      val v1 = SnapshotTable.create(docs(0 until 12), t)
+      val v2 = SnapshotTable.append(docs(12 until 20), t)
+      assert((v1, v2) == ((1, 2)))
+      assert(SnapshotTable.read(spark, t).count() == 20)
+      assert(SnapshotTable.readVersion(spark, t, 1).count() == 12)
+      SnapshotTable.validate(spark, t, 2)
+
+      // Occupied version slot: rename-based put-if-absent must refuse to
+      // clobber it and the writer must land on the next version.
+      val meta = local.resolve("metadata")
+      Files.copy(meta.resolve("v00001.json"), meta.resolve("v00003.json"))
+      val occupied = Files.readAllBytes(meta.resolve("v00003.json"))
+      val v = SnapshotTable.append(docs(20 until 25), t)
+      assert(v == 4, "writer skipped the occupied slot via rename refusal")
+      assert(Files.readAllBytes(meta.resolve("v00003.json"))
+        .sameElements(occupied), "occupied manifest untouched")
+      // The interleaved v3 (a copy of v1) became the parent: appending
+      // onto it yields v1's 12 rows + the 5 new ones.
+      assert(SnapshotTable.read(spark, t).count() == 17)
+    } finally rmrf(local.toString)
+  }
+
   test("Iterate snapshot mode: per-iteration commits, resume, metrics") {
     val dir = Files.createTempDirectory("snap-iter").toString
     val init = Seq((1L, 0), (2L, 0)).toDF("vid", "n")

@@ -3,9 +3,10 @@ package graft.sources
 import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
 import org.json4s.{DefaultFormats, Formats}
 import org.json4s.jackson.Serialization
 
@@ -41,8 +42,21 @@ import org.json4s.jackson.Serialization
   */
 object SnapshotTable {
 
-  /** One immutable data file: table-root-relative path + its lineage. */
-  final case class FileLineage(path: String, rows: Long, checksum: String)
+  /** Per-column stats of one data file, min/max rendered through
+    * `cast(string)` (None when the column is all-null in the file or the
+    * rendered value exceeds [[MaxStatLen]] — a dropped bound only costs
+    * pruning power, never correctness). Compared back through the
+    * column's type in [[scan]], so numeric renderings like `1.0E-4`
+    * order correctly. Iceberg analogue: per-data-file lower/upper bounds
+    * + null counts in the manifest. */
+  final case class ColStat(
+      name: String, min: Option[String], max: Option[String], nulls: Long)
+
+  /** One immutable data file: table-root-relative path + its lineage.
+    * `stats` is None on manifests written before column stats landed —
+    * such files are never pruned, only ever kept. */
+  final case class FileLineage(path: String, rows: Long, checksum: String,
+      stats: Option[Seq[ColStat]] = None)
 
   /** One committed snapshot. `parentVersion` is -1 for the first.
     * `summary` is caller metadata — the superstep runner records its
@@ -149,21 +163,56 @@ object SnapshotTable {
     -1 // unreachable
   }
 
-  /** Per-file (rows, content checksum) of a just-written commit dir —
-    * distributed, returns one row per file, never data rows. The
-    * checksum is the sum of per-row xxhash64 in DECIMAL(38,0)
-    * (order-independent, ANSI-overflow-safe — same contract as the
-    * superstep lineage in graft.pregel.Iterate). */
+  /** Longest rendered min/max value retained as a file stat. Unlike
+    * Iceberg we never truncate (a truncated upper bound is not an upper
+    * bound) — an over-long value just drops the file's bounds for that
+    * column. */
+  private val MaxStatLen = 64
+
+  /** Columns whose min/max render to strings that [[cmp]] can order. */
+  private def statableCols(schema: StructType): Seq[StructField] =
+    schema.fields.toSeq.filter(f => f.dataType match {
+      case _: NumericType | StringType | BooleanType | DateType |
+          TimestampType => true
+      case _ => false
+    })
+
+  /** Per-file (rows, content checksum, per-column min/max/null stats) of
+    * a just-written commit dir — ONE distributed agg, returns one row per
+    * file, never data rows. The checksum is the sum of per-row xxhash64
+    * in DECIMAL(38,0) (order-independent, ANSI-overflow-safe — same
+    * contract as the superstep lineage in graft.pregel.Iterate). */
   private def fileLineage(onDisk: DataFrame): Seq[FileLineage] = {
     val cols = onDisk.columns.map(col)
+    val statCols = statableCols(onDisk.schema)
+    val statExprs = statCols.zipWithIndex.flatMap { case (f, i) =>
+      val c = col(f.name)
+      Seq(min(c).cast("string").as(s"_mn$i"),
+        max(c).cast("string").as(s"_mx$i"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"_nn$i"))
+    }
+    val aggExprs =
+      sum(xxhash64(cols: _*).cast("decimal(38,0)")).as("checksum") +:
+        statExprs
     onDisk
       .groupBy(input_file_name().as("f"))
-      .agg(count(lit(1)).as("rows"),
-        sum(xxhash64(cols: _*).cast("decimal(38,0)")).as("checksum"))
+      .agg(count(lit(1)).as("rows"), aggExprs: _*)
       .collect()
       .toSeq
-      .map(r => FileLineage(relativize(r.getString(0)), r.getLong(1),
-        r.getDecimal(2).toBigInteger.toString))
+      .map { r =>
+        val stats = statCols.zipWithIndex.map { case (f, i) =>
+          val base = 3 + i * 3
+          def v(j: Int): Option[String] =
+            if (r.isNullAt(j)) None else Some(r.getString(j))
+          val (mn, mx) = (v(base), v(base + 1))
+          val keep = mn.forall(_.length <= MaxStatLen) &&
+            mx.forall(_.length <= MaxStatLen)
+          ColStat(f.name, if (keep) mn else None, if (keep) mx else None,
+            r.getLong(base + 2))
+        }
+        FileLineage(relativize(r.getString(0)), r.getLong(1),
+          r.getDecimal(2).toBigInteger.toString, Some(stats))
+      }
       .sortBy(_.path)
   }
 
@@ -254,6 +303,68 @@ object SnapshotTable {
     }
   }
 
+  /** Manifest-level scan planning (Iceberg's headline read-side win at
+    * 100 TB): keep only the data files whose per-column min/max/null
+    * stats MIGHT satisfy `filters` (conjunction), then read exactly that
+    * file list and apply the filters precisely. Files a predicate rules
+    * out are never planned — no footer read, no task, no row-group
+    * machinery; on a date- or key-clustered 100 TB table a point/range
+    * query touches a handful of files instead of all of them.
+    *
+    * `filters` uses the standard `org.apache.spark.sql.sources.Filter`
+    * pushdown vocabulary. Unknown filter shapes, unknown columns, and
+    * files without stats are conservatively kept — pruning is always
+    * sound, results are always exact. */
+  def scan(spark: SparkSession, table: String, filters: Seq[Filter],
+      version: Int = -1): DataFrame = {
+    val v = if (version > 0) version
+      else currentVersionOpt(spark, table).getOrElse(
+        throw new IllegalStateException(s"no table at $table"))
+    val m = manifest(spark, table, v)
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    val kept = m.files.filter(fl => filters.forall(mightMatch(_, fl, types)))
+    val root = new Path(table)
+    val df =
+      if (kept.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema)
+        .parquet(kept.map(fl => new Path(root, fl.path).toString): _*)
+    filters.foldLeft(df)((d, f) => d.filter(toColumn(f)))
+  }
+
+  /** Rows added between `fromVersion` (exclusive) and `toVersion`
+    * (inclusive) — plans only the data files appended in that range, so
+    * an incremental consumer re-reads nothing it has seen. Every commit
+    * in the range must be an append: an overwrite/rollback changelog is
+    * not representable as add-only, and silently returning its file diff
+    * would drop the retraction. */
+  def readIncremental(spark: SparkSession, table: String, fromVersion: Int,
+      toVersion: Int = -1): DataFrame = {
+    val to = if (toVersion > 0) toVersion
+      else currentVersionOpt(spark, table).getOrElse(
+        throw new IllegalStateException(s"no table at $table"))
+    require(fromVersion >= 1 && to >= fromVersion,
+      s"need 1 <= fromVersion <= toVersion, got $fromVersion..$to")
+    val mTo = manifest(spark, table, to)
+    val schema = DataType.fromJson(mTo.schemaJson).asInstanceOf[StructType]
+    ((fromVersion + 1) to to).foreach { v =>
+      val op = manifest(spark, table, v).operation
+      require(op == "append",
+        s"cannot read incrementally across '$op' at v$v of $table: " +
+          "only append commits are add-only")
+    }
+    val base = manifest(spark, table, fromVersion).files.map(_.path).toSet
+    val added = mTo.files.filterNot(fl => base(fl.path))
+    if (added.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else {
+      val root = new Path(table)
+      spark.read.schema(schema)
+        .parquet(added.map(fl => new Path(root, fl.path).toString): _*)
+    }
+  }
+
   /** All retained snapshots, oldest first. */
   def snapshots(spark: SparkSession, table: String): Seq[Manifest] =
     listVersions(spark, table).map(v => manifest(spark, table, v))
@@ -279,12 +390,17 @@ object SnapshotTable {
   def validate(spark: SparkSession, table: String, version: Int): Unit = {
     val m = manifest(spark, table, version)
     if (m.files.isEmpty) return
-    val got = fileLineage(readVersion(spark, table, version)).toSet
-    val want = m.files.toSet
+    // Compare the content lineage only (not the min/max stats): stats are
+    // a pruning aid, absent on pre-stats manifests, and any content drift
+    // they could reveal is already caught by the row-content checksum.
+    def key(fs: Seq[FileLineage]) =
+      fs.map(f => (f.path, f.rows, f.checksum)).toSet
+    val got = key(fileLineage(readVersion(spark, table, version)))
+    val want = key(m.files)
     require(got == want,
       s"snapshot v$version of $table contradicts its lineage:\n" +
-        s"  manifest: ${want.toSeq.sortBy(_.path)}\n" +
-        s"  on disk:  ${got.toSeq.sortBy(_.path)}")
+        s"  manifest: ${want.toSeq.sortBy(_._1)}\n" +
+        s"  on disk:  ${got.toSeq.sortBy(_._1)}")
   }
 
   // ---------------------------------------------------------- maintenance
@@ -329,6 +445,100 @@ object SnapshotTable {
     val orphans = onDisk.filterNot(referenced)
     orphans.foreach(d => f.delete(new Path(root, d), true))
     orphans.size
+  }
+
+  // ----------------------------------------------------- stats evaluation
+
+  /** Orders a stat's rendered value against a filter literal through the
+    * column's type. Stats exist only for [[statableCols]] types. */
+  private def cmp(dt: DataType, statVal: String, litVal: Any): Int =
+    dt match {
+      case _: NumericType =>
+        new java.math.BigDecimal(statVal)
+          .compareTo(new java.math.BigDecimal(litVal.toString))
+      case BooleanType =>
+        java.lang.Boolean.compare(statVal.toBoolean,
+          litVal.toString.toBoolean)
+      // StringType compares raw; Date/Timestamp cast(string) renderings
+      // ("2024-01-02", "2024-01-02 10:11:12.13") are ISO — lexicographic
+      // order IS chronological order, and filter literals (java.sql.Date/
+      // Timestamp or their string forms) render the same way.
+      case _ => statVal.compareTo(litVal.toString)
+    }
+
+  /** Could any row of the file satisfy `f`? Three-valued logic folded to
+    * "keep unless provably impossible": None bounds, unknown columns and
+    * unknown filter shapes all answer true. */
+  private def mightMatch(f: Filter, fl: FileLineage,
+      types: Map[String, DataType]): Boolean = fl.stats match {
+    case None => true
+    case Some(st) =>
+      val byName = st.map(s => s.name -> s).toMap
+      // inRange(a, v): some row of column a could equal v
+      def withStat(a: String)(p: ColStat => Boolean): Boolean =
+        (byName.get(a), types.get(a)) match {
+          case (Some(s), Some(_)) => p(s)
+          case _ => true
+        }
+      def allNull(s: ColStat) = s.nulls == fl.rows
+      def cmpB(a: String, b: Option[String], v: Any): Option[Int] =
+        b.map(x => cmp(types(a), x, v))
+      f match {
+        case And(l, r) => mightMatch(l, fl, types) && mightMatch(r, fl, types)
+        case Or(l, r) => mightMatch(l, fl, types) || mightMatch(r, fl, types)
+        case EqualTo(a, v) => withStat(a) { s =>
+          !allNull(s) &&
+            cmpB(a, s.min, v).forall(_ <= 0) &&
+            cmpB(a, s.max, v).forall(_ >= 0)
+        }
+        case EqualNullSafe(a, null) => withStat(a)(_.nulls > 0)
+        case EqualNullSafe(a, v) => mightMatch(EqualTo(a, v), fl, types)
+        case In(a, vs) => withStat(a) { s =>
+          !allNull(s) && vs.exists(v =>
+            cmpB(a, s.min, v).forall(_ <= 0) &&
+              cmpB(a, s.max, v).forall(_ >= 0))
+        }
+        case GreaterThan(a, v) =>
+          withStat(a)(s => cmpB(a, s.max, v).forall(_ > 0))
+        case GreaterThanOrEqual(a, v) =>
+          withStat(a)(s => cmpB(a, s.max, v).forall(_ >= 0))
+        case LessThan(a, v) =>
+          withStat(a)(s => cmpB(a, s.min, v).forall(_ < 0))
+        case LessThanOrEqual(a, v) =>
+          withStat(a)(s => cmpB(a, s.min, v).forall(_ <= 0))
+        case IsNull(a) => withStat(a)(_.nulls > 0)
+        case IsNotNull(a) => withStat(a)(s => !allNull(s))
+        case StringStartsWith(a, p) => withStat(a) { s =>
+          !allNull(s) &&
+            s.max.forall(_.compareTo(p) >= 0) &&
+            s.min.forall(_.take(p.length).compareTo(p) <= 0)
+        }
+        case _ => true // Not(...), StringContains, ... — no sound bound
+      }
+  }
+
+  /** Rebuild the exact Column predicate of a pushed filter, applied on
+    * top of the pruned file list so [[scan]] results are precise. */
+  private def toColumn(f: Filter): Column = f match {
+    case And(l, r) => toColumn(l) && toColumn(r)
+    case Or(l, r) => toColumn(l) || toColumn(r)
+    case Not(c) => !toColumn(c)
+    case EqualTo(a, v) => col(a) === lit(v)
+    case EqualNullSafe(a, v) => col(a) <=> lit(v)
+    case GreaterThan(a, v) => col(a) > lit(v)
+    case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+    case LessThan(a, v) => col(a) < lit(v)
+    case LessThanOrEqual(a, v) => col(a) <= lit(v)
+    case In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
+    case IsNull(a) => col(a).isNull
+    case IsNotNull(a) => col(a).isNotNull
+    case StringStartsWith(a, p) => col(a).startsWith(p)
+    case StringEndsWith(a, p) => col(a).endsWith(p)
+    case StringContains(a, p) => col(a).contains(p)
+    case _: AlwaysTrue => lit(true)
+    case _: AlwaysFalse => lit(false)
+    case other =>
+      throw new IllegalArgumentException(s"unsupported filter: $other")
   }
 
   // ------------------------------------------------------------- plumbing

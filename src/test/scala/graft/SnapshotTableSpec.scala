@@ -293,4 +293,118 @@ class SnapshotTableSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("contradicts its lineage"))
   }
+
+  test("manifest column stats prune data files at scan time") {
+    import org.apache.spark.sql.sources._
+    val t = tmpTable("snap-stats")
+    try {
+      // Three appends with disjoint id ranges, one data file each — the
+      // key-clustered layout a 100 TB table would have.
+      SnapshotTable.create(docs(0 until 100).repartition(1), t)
+      SnapshotTable.append(docs(100 until 200).repartition(1), t)
+      SnapshotTable.append(docs(200 until 300).repartition(1), t)
+
+      val m = SnapshotTable.manifest(spark, t, 3)
+      assert(m.files.size == 3)
+      val idStats = m.files.flatMap(_.stats.get.find(_.name == "id"))
+      assert(idStats.map(s => (s.min.get.toLong, s.max.get.toLong)).toSet
+        == Set((0L, 99L), (100L, 199L), (200L, 299L)))
+      assert(idStats.forall(_.nulls == 0))
+
+      // Point lookup plans exactly one file.
+      val point = SnapshotTable.scan(spark, t, Seq(EqualTo("id", 150L)))
+      assert(point.inputFiles.length == 1)
+      assert(point.collect().map(_.getLong(0)).toSeq == Seq(150L))
+
+      // Range crossing one boundary plans two of three files.
+      val range = SnapshotTable.scan(spark, t,
+        Seq(GreaterThanOrEqual("id", 150L), LessThan("id", 250L)))
+      assert(range.inputFiles.length == 2)
+      assert(range.count() == 100)
+
+      // Disjunction of two point lookups plans the two matching files.
+      val or = SnapshotTable.scan(spark, t,
+        Seq(Or(EqualTo("id", 5L), EqualTo("id", 250L))))
+      assert(or.inputFiles.length == 2)
+      assert(or.collect().map(_.getLong(0)).toSet == Set(5L, 250L))
+
+      // String stats prune too (text-NNN sorts lexicographically within
+      // a file's contiguous range only by prefix — equality still works).
+      val s = SnapshotTable.scan(spark, t, Seq(EqualTo("text", "text-250")))
+      assert(s.inputFiles.length < 3 && s.count() == 1)
+
+      // Nothing survives an out-of-range predicate: zero files planned.
+      val none = SnapshotTable.scan(spark, t, Seq(GreaterThan("id", 999L)))
+      assert(none.inputFiles.isEmpty && none.count() == 0)
+      assert(none.schema == SnapshotTable.read(spark, t).schema)
+
+      // Pruned scan == unpruned filter, exactly.
+      val want = SnapshotTable.read(spark, t)
+        .where(col("id") >= 150L && col("id") < 250L)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(range.collect().map(_.getLong(0)).sorted.toSeq == want)
+    } finally rmrf(t)
+  }
+
+  test("scan pruning is null-aware and conservative on unknown shapes") {
+    import org.apache.spark.sql.sources._
+    val t = tmpTable("snap-nulls")
+    try {
+      val noNulls = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+      val allNull = Seq((3L, null: String), (4L, null: String))
+        .toDF("id", "text")
+      SnapshotTable.create(noNulls.repartition(1), t)
+      SnapshotTable.append(allNull.repartition(1), t)
+
+      val isNull = SnapshotTable.scan(spark, t, Seq(IsNull("text")))
+      assert(isNull.inputFiles.length == 1 && isNull.count() == 2)
+
+      val notNull = SnapshotTable.scan(spark, t, Seq(IsNotNull("text")))
+      assert(notNull.inputFiles.length == 1 && notNull.count() == 2)
+
+      // Equality on an all-null file's column can't match it; the
+      // in-bounds-but-absent value keeps (only) the non-null file.
+      val eq = SnapshotTable.scan(spark, t, Seq(EqualTo("text", "aa")))
+      assert(eq.inputFiles.length == 1 && eq.count() == 0)
+
+      // Unknown column and un-boundable shapes are kept (and still exact).
+      val contains = SnapshotTable.scan(spark, t,
+        Seq(StringContains("text", "a")))
+      assert(contains.inputFiles.length == 2 && contains.count() == 1)
+
+      // StartsWith prunes by prefix bounds.
+      val sw = SnapshotTable.scan(spark, t,
+        Seq(StringStartsWith("text", "b")))
+      assert(sw.inputFiles.length == 1 &&
+        sw.collect().map(_.getString(1)).toSeq == Seq("b"))
+    } finally rmrf(t)
+  }
+
+  test("incremental read plans exactly the files appended in the range") {
+    val t = tmpTable("snap-incr")
+    try {
+      SnapshotTable.create(docs(0 until 10), t) // v1
+      SnapshotTable.append(docs(10 until 25), t) // v2
+      SnapshotTable.append(docs(25 until 40), t) // v3
+
+      val d12 = SnapshotTable.readIncremental(spark, t, 1, 2)
+      assert(d12.agg(sum("id")).head().getLong(0) == (10 until 25).sum)
+      val d13 = SnapshotTable.readIncremental(spark, t, 1)
+      assert(d13.count() == 30)
+      // No re-read of the base: only the appended files are planned.
+      val v1Files = SnapshotTable.manifest(spark, t, 1).files.map(_.path)
+      assert(d13.inputFiles.forall(f => !v1Files.exists(f.endsWith)))
+      // Empty range reads back empty with the table schema.
+      val d22 = SnapshotTable.readIncremental(spark, t, 2, 2)
+      assert(d22.count() == 0 &&
+        d22.schema == SnapshotTable.read(spark, t).schema)
+
+      // An overwrite in the range is not add-only: refuse, loudly.
+      SnapshotTable.overwrite(docs(0 until 3), t) // v4
+      val e = intercept[IllegalArgumentException] {
+        SnapshotTable.readIncremental(spark, t, 1)
+      }
+      assert(e.getMessage.contains("overwrite"))
+    } finally rmrf(t)
+  }
 }

@@ -121,4 +121,37 @@ class SourcesAndModifySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
     assert(rows == Seq((1L, "a", 10), (2L, "b", 99), (3L, "c", 30)))
   }
+
+  test("remote scheme: every loader reads through a non-file scheme") {
+    // The reference's oss://-/hdfs://-/s3://-style scheme-in-path routing
+    // (loader.py:96-127), driven through a registered non-`file` Hadoop
+    // FileSystem — the same resolution path a real HDFS/S3A/OSS connector
+    // takes, minus the network the sandbox doesn't have.
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mockfs.impl", classOf[MockHdfsLikeFs].getName)
+    val dir = tmpDir()
+
+    Seq((1L, "a", 2.5), (2L, "b", -1.0)).toDF("id", "name", "score")
+      .coalesce(1).write.option("header", "true").csv(s"$dir/c")
+    val viaCsv = graft.sources.TableSource.csv(spark, s"mockfs://$dir/c")
+    assert(viaCsv.orderBy("id").collect().map(_.get(0).toString).toSeq
+      == Seq("1", "2"))
+
+    Seq((10L, 3.5), (20L, 4.5)).toDF("k", "v")
+      .write.parquet(s"$dir/p")
+    val viaParquet =
+      graft.sources.TableSource.parquet(spark, s"mockfs://$dir/p")
+    assert(viaParquet.agg(org.apache.spark.sql.functions.sum("v"))
+      .head().getDouble(0) == 8.0)
+
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/e.txt"),
+      "1 2 0.5\n2 3\n".getBytes)
+    val viaEdges =
+      graft.sources.TableSource.edgeListFile(spark, s"mockfs://$dir/e.txt")
+    assert(viaEdges.orderBy("src").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      == Seq((1L, 2L, 0.5), (2L, 3L, 1.0)))
+  }
 }

@@ -902,4 +902,64 @@ object Queries {
     spark.range(1)
       .select((if (ok) lit(1L) else lit(0L)).as("ok"))
   }
+
+  /** Driver-visible contract for the snapshot table's manifest-stats
+    * file pruning and add-only incremental reads: three key-clustered
+    * appends must yield (a) a mid-range scan that PLANS exactly one of
+    * the three data files yet returns exactly the rows a full-table
+    * filter returns, (b) an out-of-range scan that plans zero files, and
+    * (c) an incremental read of v1..v3 that plans only the two appended
+    * files and returns exactly their rows. Emits ok=1. */
+  def sSnapshotPruneCheck(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan,
+      GreaterThanOrEqual, LessThan}
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val (b1, b2) = (maxId / 3, 2 * maxId / 3)
+    def ck(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(xxhash64(col("doc_id"), col("text"))
+        .cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO)))
+        .head().getDecimal(0)
+    val root = java.nio.file.Files.createTempDirectory("graft-prune-check")
+    val table = root.resolve("t").toString
+    val ok = try {
+      SnapshotTable.create(
+        docs.where(col("doc_id") < b1).repartition(1), table)
+      SnapshotTable.append(docs.where(col("doc_id") >= b1 &&
+        col("doc_id") < b2).repartition(1), table)
+      SnapshotTable.append(
+        docs.where(col("doc_id") >= b2).repartition(1), table)
+      val m = SnapshotTable.manifest(spark, table, 3)
+
+      val mid = SnapshotTable.scan(spark, table,
+        Seq(GreaterThanOrEqual("doc_id", b1), LessThan("doc_id", b2)))
+      val pruneOk = m.files.size == 3 &&
+        mid.inputFiles.length == 1 &&
+        ck(mid) == ck(docs.where(col("doc_id") >= b1 &&
+          col("doc_id") < b2))
+
+      val none = SnapshotTable.scan(spark, table,
+        Seq(GreaterThan("doc_id", maxId)))
+      val noneOk = none.inputFiles.isEmpty && none.count() == 0
+
+      val pointOk = SnapshotTable.scan(spark, table,
+        Seq(EqualTo("doc_id", maxId))).inputFiles.length == 1
+
+      val incr = SnapshotTable.readIncremental(spark, table, 1)
+      val v1Paths = SnapshotTable.manifest(spark, table, 1).files
+        .map(_.path)
+      val incrOk =
+        incr.inputFiles.forall(f => !v1Paths.exists(f.endsWith)) &&
+          ck(incr) == ck(docs.where(col("doc_id") >= b1))
+
+      pruneOk && noneOk && pointOk && incrOk
+    } finally {
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    spark.range(1)
+      .select((if (ok) lit(1L) else lit(0L)).as("ok"))
+  }
 }

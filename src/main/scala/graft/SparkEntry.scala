@@ -104,6 +104,7 @@ object SparkEntry {
     "m_video_decode_check" -> (Queries.mVideoDecodeCheck(_, _)),
     // Durable sinks (§2.7): snapshot-versioned table (seal-class ops)
     "s_snapshot_sink_check" -> (Queries.sSnapshotSinkCheck(_, _)),
+    "s_snapshot_prune_check" -> (Queries.sSnapshotPruneCheck(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -146,6 +147,7 @@ object SparkEntry {
     "m_audio_decode_check" -> OracleSql.mAudioDecodeCheck,
     "m_video_decode_check" -> OracleSql.mVideoDecodeCheck,
     "s_snapshot_sink_check" -> OracleSql.sSnapshotSinkCheck,
+    "s_snapshot_prune_check" -> OracleSql.sSnapshotPruneCheck,
     "g_pregel_pagerank" -> OracleSql.pregelPagerank(),
     // aggregator-based full PageRank == the reference recurrence
     "g_pregel_pagerank_agg" -> OracleSql.pagerank(),

@@ -931,4 +931,8 @@ object OracleSql {
   val mAudioDecodeCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
   val mVideoDecodeCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
   val sSnapshotSinkCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
+
+  /** Constant oracle for the self-checking snapshot stats-pruning +
+    * incremental-read contract (file-planning behavior is not SQL). */
+  val sSnapshotPruneCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
 }

@@ -54,9 +54,14 @@ object SnapshotTable {
 
   /** One immutable data file: table-root-relative path + its lineage.
     * `stats` is None on manifests written before column stats landed —
-    * such files are never pruned, only ever kept. */
+    * such files are never pruned, only ever kept. `cols` records the
+    * column set the checksum covers (the file's own physical columns —
+    * schema evolution can widen the TABLE schema after the file was
+    * sealed); None on legacy manifests, which predate evolution and so
+    * always match their snapshot's schema. */
   final case class FileLineage(path: String, rows: Long, checksum: String,
-      stats: Option[Seq[ColStat]] = None)
+      stats: Option[Seq[ColStat]] = None,
+      cols: Option[Seq[String]] = None)
 
   /** One committed snapshot. `parentVersion` is -1 for the first.
     * `summary` is caller metadata — the superstep runner records its
@@ -82,10 +87,15 @@ object SnapshotTable {
     commit(df, table, "create", summary)
 
   /** Append `df` as new data files; the new snapshot references the
-    * parent's files plus the new ones. Schema must match the table's. */
+    * parent's files plus the new ones. Schema must match the table's —
+    * unless `mergeSchema`, which evolves it Iceberg-style: shared
+    * columns must agree on type, new df columns join the table schema
+    * (older files read them as null), and df may omit table columns
+    * (its files read them as null). */
   def append(df: DataFrame, table: String,
-      summary: Map[String, String] = Map.empty): Int =
-    commit(df, table, "append", summary)
+      summary: Map[String, String] = Map.empty,
+      mergeSchema: Boolean = false): Int =
+    commit(df, table, "append", summary, mergeSchema)
 
   /** Replace the table contents with `df`. Older snapshots stay
     * readable via [[readVersion]] until [[expire]]d. Creates the table
@@ -116,8 +126,72 @@ object SnapshotTable {
     -1 // unreachable
   }
 
+  /** Rewrite the current file set into ~`targetFileBytes` data files and
+    * publish one `compact` snapshot — pure content-preserving
+    * maintenance, Iceberg's `rewrite_data_files` (the answer to
+    * streaming/incremental appends' small-file problem: a 100 TB table
+    * fed by many small commits degrades every scan until merged). The
+    * rewrite refuses to publish unless row count AND the
+    * order-independent content checksum match the parent exactly. Old
+    * snapshots stay time-travelable until [[expire]]d. Returns the new
+    * version — or the current one when there is nothing to merge. */
+  def compact(spark: SparkSession, table: String,
+      targetFileBytes: Long = 128L << 20): Int = {
+    val root = new Path(table)
+    val f = fileSystem(spark, root)
+    var attempt = 0
+    while (true) {
+      val curV = currentVersionOpt(spark, table).getOrElse(
+        throw new IllegalStateException(s"no table at $table"))
+      val parent = manifest(spark, table, curV)
+      if (parent.files.size <= 1) return curV
+      val totalBytes = parent.files.map(fl =>
+        f.getFileStatus(new Path(root, fl.path)).getLen).sum
+      val nFiles = math.max(1,
+        math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+      if (nFiles >= parent.files.size) return curV // already compact
+
+      val uuid = java.util.UUID.randomUUID().toString
+      val dataDir = new Path(root, s"data/$uuid")
+      readVersion(spark, table, curV).repartition(nFiles)
+        .write.mode("errorifexists").parquet(dataDir.toString)
+      val schema = DataType.fromJson(parent.schemaJson)
+        .asInstanceOf[StructType]
+      val onDisk = spark.read.schema(schema).parquet(dataDir.toString)
+      val newFiles = fileLineage(onDisk)
+      // Content equality in the table-schema view (per-file manifest
+      // checksums can't be summed across schema evolution — older files
+      // were sealed over narrower column sets).
+      def total(df: DataFrame): (Long, BigInt) = {
+        val r = df.agg(count(lit(1)),
+          sum(xxhash64(schema.fieldNames.map(col): _*)
+            .cast("decimal(38,0)"))).head()
+        (r.getLong(0),
+          Option(r.getDecimal(1)).map(d => BigInt(d.toBigInteger))
+            .getOrElse(BigInt(0)))
+      }
+      require(total(onDisk) == total(readVersion(spark, table, curV)),
+        s"compaction of $table v$curV changed the content — refusing " +
+          "to publish (rewrite kept at " + dataDir + " for inspection)")
+
+      val m = Manifest(curV + 1, curV, "compact", parent.schemaJson,
+        newFiles, parent.rows,
+        Map("compactedFiles" -> parent.files.size.toString,
+          "intoFiles" -> newFiles.size.toString),
+        System.currentTimeMillis())
+      if (tryPublish(f, root, m)) return m.version
+      // A writer advanced the table mid-rewrite: our rewrite is stale.
+      // Drop it and redo against the new current snapshot.
+      f.delete(dataDir, true)
+      attempt += 1
+      require(attempt < MaxCommitAttempts,
+        s"gave up after $attempt conflicting compactions on $table")
+    }
+    -1 // unreachable
+  }
+
   private def commit(df: DataFrame, table: String, op: String,
-      summary: Map[String, String]): Int = {
+      summary: Map[String, String], mergeSchema: Boolean = false): Int = {
     val spark = df.sparkSession
     val root = new Path(table)
     val f = fileSystem(spark, root)
@@ -138,22 +212,23 @@ object SnapshotTable {
     while (true) {
       val curV = currentVersionOpt(spark, table)
       val parent = curV.map(v => manifest(spark, table, v))
-      op match {
+      val manifestSchema = op match {
         case "create" =>
           require(parent.isEmpty, s"table $table already exists " +
             s"(version ${curV.get}); use append/overwrite")
+          schemaJson
         case "append" =>
           val p = parent.getOrElse(throw new IllegalStateException(
             s"cannot append: no table at $table"))
-          requireSameSchema(p.schemaJson, schemaJson, table)
-        case _ => () // overwrite creates or replaces
+          evolveSchema(p.schemaJson, schemaJson, mergeSchema, table)
+        case _ => schemaJson // overwrite creates or replaces
       }
       val files = parent match {
         case Some(p) if op == "append" => p.files ++ newFiles
         case _ => newFiles
       }
       val m = Manifest(curV.getOrElse(0) + 1, curV.getOrElse(-1), op,
-        schemaJson, files, files.map(_.rows).sum, summary,
+        manifestSchema, files, files.map(_.rows).sum, summary,
         System.currentTimeMillis())
       if (tryPublish(f, root, m)) return m.version
       attempt += 1
@@ -211,7 +286,8 @@ object SnapshotTable {
             r.getLong(base + 2))
         }
         FileLineage(relativize(r.getString(0)), r.getLong(1),
-          r.getDecimal(2).toBigInteger.toString, Some(stats))
+          r.getDecimal(2).toBigInteger.toString, Some(stats),
+          Some(onDisk.columns.toSeq))
       }
       .sortBy(_.path)
   }
@@ -271,13 +347,33 @@ object SnapshotTable {
     published
   }
 
-  private def requireSameSchema(tableJson: String, dfJson: String,
-      table: String): Unit = {
-    def key(j: String) = DataType.fromJson(j).asInstanceOf[StructType]
-      .fields.toSeq.map(f => (f.name, f.dataType.sql))
-    require(key(tableJson) == key(dfJson),
-      s"append schema mismatch on $table:\n  table: ${key(tableJson)}" +
-        s"\n  data:  ${key(dfJson)}")
+  /** The table schema after appending data of `dfJson`. Without
+    * `mergeSchema` the schemas must match exactly (name + type, in
+    * order). With it: shared columns must agree on type, new df columns
+    * are appended to the table schema as nullable (older files read
+    * them as null — Spark's parquet reader fills requested-but-absent
+    * columns), and df may omit table columns (its files read them as
+    * null the same way). */
+  private def evolveSchema(tableJson: String, dfJson: String,
+      mergeSchema: Boolean, table: String): String = {
+    def st(j: String) = DataType.fromJson(j).asInstanceOf[StructType]
+    val (ts, ds) = (st(tableJson), st(dfJson))
+    if (!mergeSchema) {
+      def key(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType.sql))
+      require(key(ts) == key(ds),
+        s"append schema mismatch on $table:\n  table: ${key(ts)}" +
+          s"\n  data:  ${key(ds)}\n  (pass mergeSchema = true to evolve)")
+      tableJson
+    } else {
+      val tTypes = ts.fields.map(f => f.name -> f.dataType.sql).toMap
+      ds.fields.foreach { f =>
+        tTypes.get(f.name).foreach(t => require(t == f.dataType.sql,
+          s"schema evolution type conflict on '${f.name}' in $table: " +
+            s"table $t vs data ${f.dataType.sql}"))
+      }
+      val newCols = ds.fields.filterNot(f => tTypes.contains(f.name))
+      StructType((ts.fields ++ newCols).map(_.copy(nullable = true))).json
+    }
   }
 
   // ----------------------------------------------------------------- read
@@ -390,17 +486,28 @@ object SnapshotTable {
   def validate(spark: SparkSession, table: String, version: Int): Unit = {
     val m = manifest(spark, table, version)
     if (m.files.isEmpty) return
-    // Compare the content lineage only (not the min/max stats): stats are
-    // a pruning aid, absent on pre-stats manifests, and any content drift
-    // they could reveal is already caught by the row-content checksum.
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val root = new Path(table)
+    // Each file's checksum covers ITS OWN sealed column set (schema
+    // evolution can widen the table schema later), so re-derive per
+    // column-set group, projecting the snapshot read down to the
+    // group's columns. Compare content lineage only (not min/max stats:
+    // a pruning aid, absent on pre-stats manifests — drift they could
+    // reveal is already caught by the checksum).
     def key(fs: Seq[FileLineage]) =
       fs.map(f => (f.path, f.rows, f.checksum)).toSet
-    val got = key(fileLineage(readVersion(spark, table, version)))
-    val want = key(m.files)
-    require(got == want,
-      s"snapshot v$version of $table contradicts its lineage:\n" +
-        s"  manifest: ${want.toSeq.sortBy(_._1)}\n" +
-        s"  on disk:  ${got.toSeq.sortBy(_._1)}")
+    m.files.groupBy(_.cols.getOrElse(schema.fieldNames.toSeq)).foreach {
+      case (cols, group) =>
+        val df = spark.read.schema(schema)
+          .parquet(group.map(fl => new Path(root, fl.path).toString): _*)
+          .select(cols.map(col): _*)
+        val got = key(fileLineage(df))
+        val want = key(group)
+        require(got == want,
+          s"snapshot v$version of $table contradicts its lineage:\n" +
+            s"  manifest: ${want.toSeq.sortBy(_._1)}\n" +
+            s"  on disk:  ${got.toSeq.sortBy(_._1)}")
+    }
   }
 
   // ---------------------------------------------------------- maintenance

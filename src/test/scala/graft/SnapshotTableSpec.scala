@@ -380,6 +380,90 @@ class SnapshotTableSpec extends SparkSpec {
     } finally rmrf(t)
   }
 
+  test("compact merges small files into one content-identical snapshot") {
+    val t = tmpTable("snap-compact")
+    try {
+      SnapshotTable.create(docs(0 until 50).repartition(1), t)
+      SnapshotTable.append(docs(50 until 100).repartition(1), t)
+      SnapshotTable.append(docs(100 until 150).repartition(2), t)
+      assert(SnapshotTable.manifest(spark, t, 3).files.size == 4)
+
+      val before = SnapshotTable.read(spark, t)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+      val v = SnapshotTable.compact(spark, t) // 4 tiny files << target
+      assert(v == 4)
+      val m = SnapshotTable.manifest(spark, t, 4)
+      assert(m.operation == "compact" && m.files.size == 1)
+      assert(m.summary == Map("compactedFiles" -> "4", "intoFiles" -> "1"))
+      assert(SnapshotTable.read(spark, t)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        == before, "compaction preserves content exactly")
+      SnapshotTable.validate(spark, t, 4)
+      // pre-compaction snapshots stay time-travelable until expired
+      assert(SnapshotTable.readVersion(spark, t, 2).count() == 100)
+      // compacting an already-compact table is a no-op
+      assert(SnapshotTable.compact(spark, t) == 4)
+      // a rewrite is not add-only: incremental reads across it refuse
+      val e = intercept[IllegalArgumentException] {
+        SnapshotTable.readIncremental(spark, t, 1)
+      }
+      assert(e.getMessage.contains("compact"))
+      // expire drops the pre-compaction files; current still validates
+      SnapshotTable.expire(spark, t, keepLast = 1)
+      SnapshotTable.validate(spark, t, 4)
+      assert(SnapshotTable.read(spark, t).count() == 150)
+    } finally rmrf(t)
+  }
+
+  test("schema evolution: mergeSchema appends widen, old files read null") {
+    import spark.implicits._
+    val t = tmpTable("snap-evolve")
+    try {
+      SnapshotTable.create(docs(0 until 10), t) // (id, text)
+      // Widen with a score column.
+      val scored = Seq((100L, "s-100", 0.5), (101L, "s-101", 1.5))
+        .toDF("id", "text", "score")
+      SnapshotTable.append(scored, t, mergeSchema = true)
+      val cur = SnapshotTable.read(spark, t)
+      assert(cur.columns.toSeq == Seq("id", "text", "score"))
+      assert(cur.count() == 12)
+      assert(cur.where(col("score").isNull).count() == 10,
+        "pre-evolution files read the new column as null")
+      assert(cur.agg(sum("score")).head().getDouble(0) == 2.0)
+
+      // A narrower append (omits text AND score) is also legal.
+      SnapshotTable.append(Seq(200L).toDF("id"), t, mergeSchema = true)
+      val v3 = SnapshotTable.read(spark, t)
+      assert(v3.count() == 13 &&
+        v3.where(col("id") === 200L && col("text").isNull).count() == 1)
+
+      // validate re-derives each file's checksum over ITS sealed columns.
+      (1 to 3).foreach(v => SnapshotTable.validate(spark, t, v))
+
+      // Time travel renders each snapshot in its own schema.
+      assert(SnapshotTable.readVersion(spark, t, 1).columns.toSeq
+        == Seq("id", "text"))
+
+      // Scans over the evolved schema stay exact (old files conservatively
+      // kept for new-column predicates, then filtered precisely).
+      import org.apache.spark.sql.sources._
+      val hit = SnapshotTable.scan(spark, t, Seq(GreaterThan("score", 1.0)))
+      assert(hit.collect().map(_.getLong(0)).toSeq == Seq(101L))
+
+      // Type conflicts refuse; unmerged mismatches point at mergeSchema.
+      val conflict = Seq((1L, 2L)).toDF("id", "score")
+      val e1 = intercept[IllegalArgumentException] {
+        SnapshotTable.append(conflict, t, mergeSchema = true)
+      }
+      assert(e1.getMessage.contains("type conflict"))
+      val e2 = intercept[IllegalArgumentException] {
+        SnapshotTable.append(Seq(1L).toDF("id"), t)
+      }
+      assert(e2.getMessage.contains("mergeSchema"))
+    } finally rmrf(t)
+  }
+
   test("incremental read plans exactly the files appended in the range") {
     val t = tmpTable("snap-incr")
     try {

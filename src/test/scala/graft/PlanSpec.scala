@@ -84,4 +84,34 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       s"no partial aggregation:\n$plan")
   }
+
+  test("snapshot scan: manifest pruning composes with parquet pushdown") {
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("plan-snap")
+    val t = root.resolve("t").toString
+    try {
+      SnapshotTable.create(
+        (0L until 100L).map(i => (i, s"d-$i")).toDF("id", "text")
+          .repartition(1), t)
+      SnapshotTable.append(
+        (100L until 200L).map(i => (i, s"d-$i")).toDF("id", "text")
+          .repartition(1), t)
+      val scanned = SnapshotTable.scan(spark, t,
+        Seq(GreaterThanOrEqual("id", 120L), LessThan("id", 130L)))
+      // tier 1: the manifest stats plan only the matching file
+      assert(scanned.inputFiles.length == 1)
+      // tier 2: the residual filter reaches the parquet scan, so row
+      // groups inside the kept file are pruned by the reader too
+      val plan = executedPlan(scanned)
+      assert(plan.contains("PushedFilters: [") &&
+        plan.contains("GreaterThanOrEqual(id,120)"),
+        s"residual filter not pushed to the parquet scan:\n$plan")
+    } finally {
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
 }

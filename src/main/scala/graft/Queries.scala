@@ -903,6 +903,43 @@ object Queries {
       .select((if (ok) lit(1L) else lit(0L)).as("ok"))
   }
 
+  /** Driver-visible contract for the incremental dedup pipeline
+    * (Dedup.incrementalDedupStep over two snapshot tables): feed the
+    * documents table as increment 1 and planted exact copies of 20
+    * distinct-text docs (ids offset past max(doc_id) — plants can never
+    * collide with real ids) as increment 2. Every planted cross-boundary
+    * pair must surface from step 2 at est_jaccard 1.0 WITHOUT re-signing
+    * the corpus (step 2 only shingles the 20-doc delta; the corpus side
+    * is the persisted signature store). Emits ok=1. */
+  def dIncrDedupCheck(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Dedup
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val originals = docs.dropDuplicates("text")
+      .orderBy(col("doc_id")).limit(20).localCheckpoint(true)
+    val plants = originals
+      .select((col("doc_id") + off).as("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-incr-check")
+    val (corpus, sigs) =
+      (root.resolve("c").toString, root.resolve("s").toString)
+    val ok = try {
+      Dedup.incrementalDedupStep(corpus, sigs, docs).count() // warm store
+      val p2 = Dedup.incrementalDedupStep(corpus, sigs, plants)
+      val want = originals.select(col("doc_id").as("id_a"),
+        (col("doc_id") + off).as("id_b"))
+      val found = p2.where(col("est_jaccard") >= 1.0)
+        .join(want, Seq("id_a", "id_b"), "left_semi").count()
+      val storeRows = graft.sources.SnapshotTable.read(spark, sigs).count()
+      found == 20 && storeRows == docs.count() + 20
+    } finally {
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    spark.range(1)
+      .select((if (ok) lit(1L) else lit(0L)).as("ok"))
+  }
+
   /** Driver-visible contract for the snapshot table's manifest-stats
     * file pruning and add-only incremental reads: three key-clustered
     * appends must yield (a) a mid-range scan that PLANS exactly one of

@@ -89,6 +89,7 @@ object SparkEntry {
     "d_fingerprint" -> (Queries.dFingerprint(_, _)),
     "d_fingerprint_check" -> (Queries.dFingerprintCheck(_, _)),
     "d_dedup_cluster_check" -> (Queries.dDedupClusterCheck(_, _)),
+    "d_incr_dedup_check" -> (Queries.dIncrDedupCheck(_, _)),
     // Similarity search over embeddings
     "e_ann_topk" -> (Queries.eAnnTopk(_, _)),
     "e_ann_lsh" -> (Queries.eAnnLsh(_, _)),
@@ -144,6 +145,7 @@ object SparkEntry {
     "g_dfs_check" -> OracleSql.gDfsCheck,
     "d_fingerprint_check" -> OracleSql.dFingerprintCheck,
     "d_dedup_cluster_check" -> OracleSql.dDedupClusterCheck,
+    "d_incr_dedup_check" -> OracleSql.dIncrDedupCheck,
     "m_audio_decode_check" -> OracleSql.mAudioDecodeCheck,
     "m_video_decode_check" -> OracleSql.mVideoDecodeCheck,
     "s_snapshot_sink_check" -> OracleSql.sSnapshotSinkCheck,

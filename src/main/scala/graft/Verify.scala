@@ -44,7 +44,8 @@ object Verify {
     // small joins / bucketed similarity
     "e_ann_topk", "e_ann_lsh", "e_ann_ivf", "e_cos_neardup",
     "d_ngram_jaccard", "d_ngram_check", "d_minhash_pairs",
-    "d_minhash_check", "d_dedup_cluster_check", "s_snapshot_sink_check",
+    "d_minhash_check", "d_dedup_cluster_check", "d_incr_dedup_check",
+    "s_snapshot_sink_check", "s_snapshot_prune_check",
     // graph: first entry builds the shared co-purchase graph
     "g_degree", "g_degree_centrality", "i_simple_path", "g_bfs",
     "g_bfs_parents", "g_wcc", "g_pagerank", "g_pregel_pagerank",

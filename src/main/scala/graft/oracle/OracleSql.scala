@@ -801,6 +801,10 @@ object OracleSql {
   val eAnnLshOk: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
   val eAnnIvfOk: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
   val dDedupClusterCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
+
+  /** Constant oracle for the self-checking incremental-dedup contract
+    * (snapshot-table lifecycle + hash-dependent pairs are not SQL). */
+  val dIncrDedupCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
   val louvainCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
   val dMinhashCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
   val dSimhashCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"

@@ -45,6 +45,27 @@ object Dedup {
     * are compared, so the cross-product never materializes. Hub buckets
     * (boilerplate text) are bounded by `maxBucket`.
     */
+  /** (id, sig) MinHash signature relation of a documents frame — the
+    * thing an incremental pipeline persists so corpus text is shingled
+    * exactly once per document ([[incrementalDedupStep]]). */
+  def signatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 5, numHashes: Int = 32)
+      : DataFrame =
+    docs.select(col(idCol).as("id"),
+      minhashSignature(shingleHashes(col(textCol), k), numHashes)
+        .as("sig"))
+
+  /** One row per (doc, band): (id, sig, band, bh). Recomputing band
+    * hashes from a persisted signature is a pure projection — cheap
+    * enough that the signature store never needs to persist them. */
+  private def bandedOf(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigs.select(col("id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * rows + 1, lit(rows)).cast("string"))
+              .as("bh")))).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.bh"))
+
   def minhashPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -55,17 +76,10 @@ object Dedup {
       threshold: Double = 0.7,
       maxBucket: Int = 64): DataFrame = {
     val rows = numHashes / bands
-    val sigs = docs.select(col(idCol).as("id"),
-        minhashSignature(shingleHashes(col(textCol), k), numHashes)
-          .as("sig"))
+    val sigs = signatures(docs, idCol, textCol, k, numHashes)
       .localCheckpoint(true)
 
-    val banded = sigs.select(col("id"), col("sig"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"),
-            xxhash64(slice(col("sig"), b * rows + 1, lit(rows)).cast("string"))
-              .as("bh")))).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.bh"))
+    val banded = bandedOf(sigs, bands, rows)
 
     // Cap pathological buckets (all-identical boilerplate).
     val capped = banded.withColumn("bn",
@@ -131,6 +145,100 @@ object Dedup {
     graft.apps.WCC.run(g).select(
       col("vid").as(idCol), col("comp").as("cluster"),
       (col("vid") === col("comp")).as("keep"))
+  }
+
+  /** Near-dup pairs of a signature DELTA against the full corpus (store
+    * ∪ delta) — the incremental core: every emitted pair touches at
+    * least one delta id (store×store pairs were emitted when their later
+    * doc was itself a delta), the band join only compares documents
+    * sharing a bucket, and hub buckets are capped globally by a
+    * groupBy-count semi-filter (map-side combinable — no per-increment
+    * window sort over the store). Pair semantics match [[minhashPairs]]
+    * on the full corpus exactly: its result restricted to delta-touching
+    * pairs is this result. */
+  def incrementalMinhashPairs(
+      storeSigs: DataFrame,
+      deltaSigs: DataFrame,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.7,
+      maxBucket: Int = 64): DataFrame = {
+    val rows = numHashes / bands
+    val all = storeSigs.unionByName(deltaSigs)
+    val allB = bandedOf(all, bands, rows)
+    val okBuckets = allB.groupBy("band", "bh").count()
+      .where(col("count") <= maxBucket).select("band", "bh")
+    val capped = allB.join(okBuckets, Seq("band", "bh"))
+    val deltaB = bandedOf(deltaSigs, bands, rows)
+      .join(okBuckets, Seq("band", "bh"))
+
+    val cand = deltaB.select(col("band"), col("bh"), col("id").as("id_d"))
+      .join(capped.select(col("band"), col("bh"), col("id").as("id_o")),
+        Seq("band", "bh"))
+      .where(col("id_d") =!= col("id_o"))
+      .select(least(col("id_d"), col("id_o")).as("id_a"),
+        greatest(col("id_d"), col("id_o")).as("id_b"))
+      .distinct()
+
+    cand
+      .join(all.select(col("id").as("id_a"), col("sig").as("sig_a")),
+        "id_a")
+      .join(all.select(col("id").as("id_b"), col("sig").as("sig_b")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sig_a"), col("sig_b"))).cast("double")
+          / size(col("sig_a"))).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+  }
+
+  /** One append step of an incrementally-deduped corpus over two
+    * snapshot tables ([[graft.sources.SnapshotTable]]): `corpusTable`
+    * holds the documents, `sigTable` the persisted (id, sig) MinHash
+    * signatures in version lockstep. The step signs ONLY `newDocs`,
+    * finds their near-dup pairs against the whole corpus via
+    * [[incrementalMinhashPairs]], then appends docs and signatures
+    * (creating both tables on first use).
+    *
+    * The 100 TB posture: per increment, document TEXT is read and
+    * shingled only for the delta — the corpus side touches just the
+    * narrow signature relation, and the union of every step's pairs
+    * equals a full [[minhashPairs]] recompute over the final corpus
+    * (each pair surfaces when its later document arrives).
+    *
+    * @return the new near-dup pairs (id_a, id_b, est_jaccard) */
+  def incrementalDedupStep(
+      corpusTable: String,
+      sigTable: String,
+      newDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 5,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.7,
+      maxBucket: Int = 64): DataFrame = {
+    import graft.sources.SnapshotTable
+    val spark = newDocs.sparkSession
+    val deltaSigs = signatures(newDocs, idCol, textCol, k, numHashes)
+      .localCheckpoint(true)
+    // Pin the store BEFORE appending the delta (the manifest file list
+    // is resolved here, so the lazy pair plan can't see its own delta).
+    val store = SnapshotTable.currentVersionOpt(spark, sigTable) match {
+      case Some(_) =>
+        SnapshotTable.read(spark, sigTable).select(col("id"), col("sig"))
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        deltaSigs.schema)
+    }
+    val pairs = incrementalMinhashPairs(store, deltaSigs, numHashes,
+      bands, threshold, maxBucket)
+    if (SnapshotTable.currentVersionOpt(spark, corpusTable).isEmpty)
+      SnapshotTable.create(newDocs, corpusTable)
+    else SnapshotTable.append(newDocs, corpusTable)
+    if (SnapshotTable.currentVersionOpt(spark, sigTable).isEmpty)
+      SnapshotTable.create(deltaSigs, sigTable)
+    else SnapshotTable.append(deltaSigs, sigTable)
+    pairs
   }
 
   /** 64-bit SimHash of the whitespace-token multiset — Charikar 2002: per

@@ -144,6 +144,46 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr"))
   }
 
+  test("incremental dedup steps compose to the full-corpus recompute") {
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pseudo-random token streams: non-planted docs share almost no
+    // shingles, so only the planted copies can cross the 0.7 threshold
+    def text(i: Long) =
+      (0 until 15).map(j => s"w${(i * 977 + j * 131) % 99991}t$j")
+        .mkString(" ")
+    // batch1: 20 distinct docs; batch2: 20 docs of which three are exact
+    // copies of batch-1 docs (cross-boundary) and two copy each other.
+    val b1 = docsDF((0L until 20L).map(i => i -> text(i)))
+    val b2 = docsDF((20L until 40L).map {
+      case 25L => 25L -> text(3)
+      case 30L => 30L -> text(12)
+      case 36L => 36L -> text(35)
+      case i => i -> text(i)
+    })
+    val root = java.nio.file.Files.createTempDirectory("incr-dedup")
+    val (corpus, sigs) =
+      (root.resolve("corpus").toString, root.resolve("sigs").toString)
+    try {
+      val p1 = pset(incrementalDedupStep(corpus, sigs, b1))
+      assert(p1.isEmpty, "batch 1 is all-distinct")
+      val p2 = pset(incrementalDedupStep(corpus, sigs, b2))
+      assert(Set((3L, 25L), (12L, 30L), (35L, 36L)).subsetOf(p2),
+        s"cross-boundary and in-delta plants must surface: $p2")
+
+      // Union over steps == one full recompute over the final corpus.
+      import graft.sources.SnapshotTable
+      val fullCorpus = SnapshotTable.read(spark, corpus)
+      assert(fullCorpus.count() == 40)
+      assert(SnapshotTable.read(spark, sigs).count() == 40)
+      assert(p1 ++ p2 == pset(minhashPairs(fullCorpus)))
+    } finally {
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
   test("fingerprint is stable and edit-robust at the tail") {
     import spark.implicits._
     val fp = Seq(near1, near1 + " extra", other).toDF("text")

@@ -81,6 +81,22 @@ object SnapshotTable {
 
   // ---------------------------------------------------------------- write
 
+  /** Range-cluster `df` on `cols` before writing, so consecutive key
+    * ranges land in separate data files and the manifest min/max stats
+    * give [[scan]] real pruning power (Iceberg's write-ordering: stats
+    * exist either way, but on an unclustered write every file spans the
+    * whole key range and nothing can be skipped). `nFiles <= 0` keeps
+    * the session shuffle parallelism. Pair with create/append/overwrite:
+    * `SnapshotTable.create(SnapshotTable.clustered(df, Seq("id")), t)`. */
+  def clustered(df: DataFrame, cols: Seq[String], nFiles: Int = 0)
+      : DataFrame = {
+    val keys = cols.map(col)
+    val parts = if (nFiles > 0) nFiles
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartitionByRange(parts, keys: _*)
+      .sortWithinPartitions(keys: _*)
+  }
+
   /** Create a brand-new table; refuses to touch an existing one. */
   def create(df: DataFrame, table: String,
       summary: Map[String, String] = Map.empty): Int =

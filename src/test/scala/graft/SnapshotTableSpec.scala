@@ -380,6 +380,32 @@ class SnapshotTableSpec extends SparkSpec {
     } finally rmrf(t)
   }
 
+  test("clustered writes give the stats real pruning power") {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+    val t = tmpTable("snap-cluster")
+    try {
+      // One unclustered commit of a SHUFFLED key range: every file spans
+      // ~the whole range, so stats exist but can prune nothing.
+      val shuffled = docs(0 until 400)
+        .orderBy(xxhash64(col("id"))).repartition(4)
+      SnapshotTable.create(shuffled, t)
+      val narrow = Seq(GreaterThanOrEqual("id", 100L), LessThan("id", 110L))
+      assert(SnapshotTable.scan(spark, t, narrow).inputFiles.length == 4,
+        "unclustered files all span the key range — nothing prunable")
+
+      // The same rows written through clustered(): consecutive ranges
+      // land in separate files and the same scan plans one of four.
+      SnapshotTable.overwrite(
+        SnapshotTable.clustered(docs(0 until 400), Seq("id"), 4), t)
+      val pruned = SnapshotTable.scan(spark, t, narrow)
+      assert(pruned.inputFiles.length == 1,
+        s"clustered write must prune to 1 file, planned " +
+          s"${pruned.inputFiles.length}")
+      assert(pruned.collect().map(_.getLong(0)).sorted.toSeq
+        == (100L until 110L))
+    } finally rmrf(t)
+  }
+
   test("compact merges small files into one content-identical snapshot") {
     val t = tmpTable("snap-compact")
     try {

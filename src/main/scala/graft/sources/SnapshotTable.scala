@@ -590,9 +590,16 @@ object SnapshotTable {
     }
 
   /** Could any row of the file satisfy `f`? Three-valued logic folded to
-    * "keep unless provably impossible": None bounds, unknown columns and
-    * unknown filter shapes all answer true. */
+    * "keep unless provably impossible": None bounds, unknown columns,
+    * unknown filter shapes — and any literal the comparator cannot order
+    * (NaN, unparseable renderings) — all answer true: pruning must never
+    * throw and never drop a maybe. */
   private def mightMatch(f: Filter, fl: FileLineage,
+      types: Map[String, DataType]): Boolean =
+    try mightMatchUnsafe(f, fl, types)
+    catch { case scala.util.control.NonFatal(_) => true }
+
+  private def mightMatchUnsafe(f: Filter, fl: FileLineage,
       types: Map[String, DataType]): Boolean = fl.stats match {
     case None => true
     case Some(st) =>
@@ -609,6 +616,10 @@ object SnapshotTable {
       f match {
         case And(l, r) => mightMatch(l, fl, types) && mightMatch(r, fl, types)
         case Or(l, r) => mightMatch(l, fl, types) || mightMatch(r, fl, types)
+        case EqualTo(a, null) =>
+          // SQL `= NULL` matches nothing, but translations vary — the
+          // only rows it could touch are null ones.
+          withStat(a)(_.nulls > 0)
         case EqualTo(a, v) => withStat(a) { s =>
           !allNull(s) &&
             cmpB(a, s.min, v).forall(_ <= 0) &&
@@ -617,9 +628,10 @@ object SnapshotTable {
         case EqualNullSafe(a, null) => withStat(a)(_.nulls > 0)
         case EqualNullSafe(a, v) => mightMatch(EqualTo(a, v), fl, types)
         case In(a, vs) => withStat(a) { s =>
-          !allNull(s) && vs.exists(v =>
-            cmpB(a, s.min, v).forall(_ <= 0) &&
-              cmpB(a, s.max, v).forall(_ >= 0))
+          (vs.contains(null) && s.nulls > 0) ||
+            (!allNull(s) && vs.filter(_ != null).exists(v =>
+              cmpB(a, s.min, v).forall(_ <= 0) &&
+                cmpB(a, s.max, v).forall(_ >= 0)))
         }
         case GreaterThan(a, v) =>
           withStat(a)(s => cmpB(a, s.max, v).forall(_ > 0))

@@ -377,6 +377,21 @@ class SnapshotTableSpec extends SparkSpec {
         Seq(StringStartsWith("text", "b")))
       assert(sw.inputFiles.length == 1 &&
         sw.collect().map(_.getString(1)).toSeq == Seq("b"))
+
+      // Hostile literals never throw and never drop a maybe: a null
+      // equality only touches null rows; NaN falls back to "keep".
+      // (no inputFiles assertion: Catalyst constant-folds `= NULL` to
+      // false and elides the scan entirely — even better than pruning)
+      val eqNull = SnapshotTable.scan(spark, t,
+        Seq(EqualTo("text", null)))
+      assert(eqNull.count() == 0)
+      val inNull = SnapshotTable.scan(spark, t,
+        Seq(In("text", Array(null, "b"))))
+      assert(inNull.inputFiles.length == 2 &&
+        inNull.collect().map(_.getString(1)).toSeq == Seq("b"))
+      val nan = SnapshotTable.scan(spark, t,
+        Seq(GreaterThan("id", Double.NaN)))
+      assert(nan.inputFiles.length == 2 && nan.count() == 0)
     } finally rmrf(t)
   }
 

@@ -206,6 +206,84 @@ object SnapshotTable {
     -1 // unreachable
   }
 
+  /** Copy-on-write upsert (Iceberg MERGE-shaped): `df` rows REPLACE
+    * same-key rows and new keys are inserted, in one snapshot. Only the
+    * data files whose manifest stats might contain an incoming key are
+    * rewritten — every other file carries over untouched (pure
+    * metadata), so on a key-clustered 100 TB table a point-fix rewrites
+    * one file, not the table. `df` must be unique on `keyCols` (checked;
+    * null keys never match existing rows — SQL join semantics — so they
+    * are pure inserts and must themselves be unique). Schema must match
+    * the table's exactly. */
+  def upsert(df: DataFrame, table: String, keyCols: Seq[String],
+      summary: Map[String, String] = Map.empty): Int = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val spark = df.sparkSession
+    val root = new Path(table)
+    val f = fileSystem(spark, root)
+    val dfc = df.localCheckpoint(true)
+    require(dfc.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).isEmpty,
+      s"upsert rows must be unique on $keyCols")
+    val curV0 = currentVersionOpt(spark, table).getOrElse(
+      throw new IllegalStateException(s"no table at $table"))
+    if (dfc.isEmpty) return curV0
+
+    var attempt = 0
+    while (true) {
+      val curV = currentVersionOpt(spark, table).get
+      val parent = manifest(spark, table, curV)
+      // strict schema check (reuses the no-evolution path)
+      evolveSchema(parent.schemaJson, dfc.schema.json,
+        mergeSchema = false, table)
+      val schema = DataType.fromJson(parent.schemaJson)
+        .asInstanceOf[StructType]
+      val types = schema.fields.map(fd => fd.name -> fd.dataType).toMap
+      // Incoming key bounds, one agg — the driver-side pruning predicate.
+      val boundExprs = keyCols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(min(col(c)).as(s"mn$i"), max(col(c)).as(s"mx$i"))
+      }
+      val b = dfc.agg(boundExprs.head, boundExprs.tail: _*).head()
+      val keyFilters: Seq[Filter] = keyCols.zipWithIndex.flatMap {
+        case (c, i) =>
+          val (mn, mx) = (b.get(2 * i), b.get(2 * i + 1))
+          if (mn == null || mx == null) Nil // all-null keys: pure inserts
+          else Seq(And(GreaterThanOrEqual(c, mn), LessThanOrEqual(c, mx)))
+      }
+      val (touched, untouched) = parent.files.partition(fl =>
+        keyFilters.nonEmpty && keyFilters.forall(mightMatch(_, fl, types)))
+
+      val uuid = java.util.UUID.randomUUID().toString
+      val dataDir = new Path(root, s"data/$uuid")
+      val survivors =
+        if (touched.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        else spark.read.schema(schema)
+          .parquet(touched.map(fl => new Path(root, fl.path).toString): _*)
+          .join(broadcast(dfc.select(keyCols.map(col): _*)),
+            keyCols, "left_anti")
+      survivors.select(schema.fieldNames.map(col): _*)
+        .unionByName(dfc.select(schema.fieldNames.map(col): _*))
+        .write.mode("errorifexists").parquet(dataDir.toString)
+      val newFiles =
+        fileLineage(spark.read.schema(schema).parquet(dataDir.toString))
+      val files = untouched ++ newFiles
+      val m = Manifest(curV + 1, curV, "upsert", parent.schemaJson,
+        files, files.map(_.rows).sum,
+        summary ++ Map("rewrittenFiles" -> touched.size.toString,
+          "carriedFiles" -> untouched.size.toString),
+        System.currentTimeMillis())
+      if (tryPublish(f, root, m)) return m.version
+      // A writer advanced the table mid-rewrite: redo against the new
+      // current snapshot.
+      f.delete(dataDir, true)
+      attempt += 1
+      require(attempt < MaxCommitAttempts,
+        s"gave up after $attempt conflicting upserts on $table")
+    }
+    -1 // unreachable
+  }
+
   private def commit(df: DataFrame, table: String, op: String,
       summary: Map[String, String], mergeSchema: Boolean = false): Int = {
     val spark = df.sparkSession

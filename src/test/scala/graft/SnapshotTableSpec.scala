@@ -457,6 +457,66 @@ class SnapshotTableSpec extends SparkSpec {
     } finally rmrf(t)
   }
 
+  test("upsert rewrites only the files its key bounds can touch") {
+    import spark.implicits._
+    val t = tmpTable("snap-upsert")
+    try {
+      // key-clustered: three files with disjoint id ranges
+      SnapshotTable.create(docs(0 until 100).repartition(1), t)
+      SnapshotTable.append(docs(100 until 200).repartition(1), t)
+      SnapshotTable.append(docs(200 until 300).repartition(1), t)
+      val before = SnapshotTable.manifest(spark, t, 3)
+
+      // update two mid-range rows: only the middle file is rewritten
+      val fix = Seq((150L, "fixed-150"), (155L, "fixed-155"))
+        .toDF("id", "text")
+      val v4 = SnapshotTable.upsert(fix, t, Seq("id"))
+      val m4 = SnapshotTable.manifest(spark, t, v4)
+      assert(m4.operation == "upsert")
+      assert(m4.summary("rewrittenFiles") == "1" &&
+        m4.summary("carriedFiles") == "2")
+      val carried = before.files.map(_.path).toSet
+        .intersect(m4.files.map(_.path).toSet)
+      assert(carried.size == 2, "untouched files carry over by path")
+      val cur = SnapshotTable.read(spark, t)
+      assert(cur.count() == 300)
+      assert(cur.where(col("id") === 150L).head().getString(1)
+        == "fixed-150")
+      assert(cur.where(col("id") === 42L).head().getString(1)
+        == "text-42", "rows outside the fix are untouched")
+      SnapshotTable.validate(spark, t, v4)
+      // time travel: the pre-upsert snapshot still has the old row
+      assert(SnapshotTable.readVersion(spark, t, 3)
+        .where(col("id") === 150L).head().getString(1) == "text-150")
+
+      // an out-of-range insert touches nothing: 0 rewritten, 3 carried
+      val v5 = SnapshotTable.upsert(
+        Seq((1000L, "new-1000")).toDF("id", "text"), t, Seq("id"))
+      val m5 = SnapshotTable.manifest(spark, t, v5)
+      assert(m5.summary("rewrittenFiles") == "0" &&
+        m5.summary("carriedFiles") == m4.files.size.toString)
+      assert(SnapshotTable.read(spark, t).count() == 301)
+      SnapshotTable.validate(spark, t, v5)
+
+      // mixed update+insert in one call
+      val v6 = SnapshotTable.upsert(
+        Seq((0L, "fixed-0"), (2000L, "new-2000")).toDF("id", "text"),
+        t, Seq("id"))
+      val r6 = SnapshotTable.read(spark, t)
+      assert(r6.count() == 302 &&
+        r6.where(col("id") === 0L).head().getString(1) == "fixed-0")
+      assert(SnapshotTable.manifest(spark, t, v6)
+        .summary("rewrittenFiles").toInt >= 1)
+
+      // duplicate keys refuse loudly
+      val e = intercept[IllegalArgumentException] {
+        SnapshotTable.upsert(
+          Seq((1L, "x"), (1L, "y")).toDF("id", "text"), t, Seq("id"))
+      }
+      assert(e.getMessage.contains("unique"))
+    } finally rmrf(t)
+  }
+
   test("schema evolution: mergeSchema appends widen, old files read null") {
     import spark.implicits._
     val t = tmpTable("snap-evolve")

@@ -284,6 +284,55 @@ object SnapshotTable {
     -1 // unreachable
   }
 
+  /** Copy-on-write DELETE of the rows matching `filters` (conjunction,
+    * the same pushdown vocabulary as [[scan]]). Only data files whose
+    * stats might contain a match are rewritten with those rows removed;
+    * every other file carries over by path. Returns the new version, or
+    * the current one when the stats prove nothing matches. Refuses an
+    * empty filter list (use [[overwrite]] to empty a table on purpose). */
+  def delete(spark: SparkSession, table: String, filters: Seq[Filter],
+      summary: Map[String, String] = Map.empty): Int = {
+    require(filters.nonEmpty,
+      "refusing an unfiltered delete; use overwrite to empty a table")
+    val root = new Path(table)
+    val f = fileSystem(spark, root)
+    var attempt = 0
+    while (true) {
+      val curV = currentVersionOpt(spark, table).getOrElse(
+        throw new IllegalStateException(s"no table at $table"))
+      val parent = manifest(spark, table, curV)
+      val schema = DataType.fromJson(parent.schemaJson)
+        .asInstanceOf[StructType]
+      val types = schema.fields.map(fd => fd.name -> fd.dataType).toMap
+      val (touched, untouched) = parent.files.partition(fl =>
+        filters.forall(mightMatch(_, fl, types)))
+      if (touched.isEmpty) return curV // stats prove nothing matches
+
+      val uuid = java.util.UUID.randomUUID().toString
+      val dataDir = new Path(root, s"data/$uuid")
+      spark.read.schema(schema)
+        .parquet(touched.map(fl => new Path(root, fl.path).toString): _*)
+        .where(!filters.map(toColumn).reduce(_ && _))
+        .write.mode("errorifexists").parquet(dataDir.toString)
+      val newFiles =
+        fileLineage(spark.read.schema(schema).parquet(dataDir.toString))
+      val files = untouched ++ newFiles
+      val total = files.map(_.rows).sum
+      val m = Manifest(curV + 1, curV, "delete", parent.schemaJson,
+        files, total,
+        summary ++ Map("rewrittenFiles" -> touched.size.toString,
+          "carriedFiles" -> untouched.size.toString,
+          "deletedRows" -> (parent.rows - total).toString),
+        System.currentTimeMillis())
+      if (tryPublish(f, root, m)) return m.version
+      f.delete(dataDir, true)
+      attempt += 1
+      require(attempt < MaxCommitAttempts,
+        s"gave up after $attempt conflicting deletes on $table")
+    }
+    -1 // unreachable
+  }
+
   private def commit(df: DataFrame, table: String, op: String,
       summary: Map[String, String], mergeSchema: Boolean = false): Int = {
     val spark = df.sparkSession

@@ -517,6 +517,40 @@ class SnapshotTableSpec extends SparkSpec {
     } finally rmrf(t)
   }
 
+  test("delete rewrites only the files its predicate can touch") {
+    import org.apache.spark.sql.sources._
+    val t = tmpTable("snap-delete")
+    try {
+      SnapshotTable.create(docs(0 until 100).repartition(1), t)
+      SnapshotTable.append(docs(100 until 200).repartition(1), t)
+      SnapshotTable.append(docs(200 until 300).repartition(1), t)
+
+      val v4 = SnapshotTable.delete(spark, t,
+        Seq(GreaterThanOrEqual("id", 150L), LessThan("id", 160L)))
+      val m4 = SnapshotTable.manifest(spark, t, v4)
+      assert(m4.operation == "delete")
+      assert(m4.summary("rewrittenFiles") == "1" &&
+        m4.summary("carriedFiles") == "2" &&
+        m4.summary("deletedRows") == "10")
+      val cur = SnapshotTable.read(spark, t)
+      assert(cur.count() == 290 &&
+        cur.where(col("id") >= 150L && col("id") < 160L).count() == 0)
+      SnapshotTable.validate(spark, t, v4)
+      // the pre-delete snapshot still holds the rows
+      assert(SnapshotTable.readVersion(spark, t, 3).count() == 300)
+
+      // a provably-unmatched delete publishes nothing
+      assert(SnapshotTable.delete(spark, t,
+        Seq(GreaterThan("id", 5000L))) == v4)
+
+      // an unfiltered delete refuses
+      val e = intercept[IllegalArgumentException] {
+        SnapshotTable.delete(spark, t, Seq.empty)
+      }
+      assert(e.getMessage.contains("unfiltered"))
+    } finally rmrf(t)
+  }
+
   test("schema evolution: mergeSchema appends widen, old files read null") {
     import spark.implicits._
     val t = tmpTable("snap-evolve")

@@ -63,6 +63,32 @@ object Queries {
       .select(col("vid").cast("long").as("vid"),
         col("comp").cast("long").as("comp"))
 
+  /** Driver-visible contract for incremental WCC
+    * (WCC.runIncremental): hash-split the co-purchase edges ~80/20 into
+    * base + delta; labels from runIncremental(WCC(base), delta) — which
+    * never re-touches the base edge set — must equal the full-graph WCC
+    * exactly on EVERY vertex. Emits ok=1. */
+  def gWccIncrCheck(spark: SparkSession, dir: String): DataFrame = {
+    val g = CoPurchase.graph(spark, dir)
+    val edges = g.edges.select(col("src"), col("dst"))
+    val bucket = pmod(xxhash64(col("src"), col("dst")), lit(5))
+    val delta = edges.where(bucket === 0).localCheckpoint(true)
+    val base = edges.where(bucket =!= 0)
+    val prev = WCC.run(graft.graph.SimpleGraph(
+      g.vertices, base, directed = false)).localCheckpoint(true)
+    val incr = WCC.runIncremental(prev, delta)
+    val full = wcc(spark, dir)
+    val mismatches = incr
+      .select(col("vid"), col("comp").cast("long").as("ic"))
+      .join(full.select(col("vid"), col("comp").as("fc")),
+        Seq("vid"), "full")
+      .where(col("ic").isNull || col("fc").isNull ||
+        col("ic") =!= col("fc"))
+      .count()
+    spark.range(1)
+      .select((if (mismatches == 0) lit(1L) else lit(0L)).as("ok"))
+  }
+
   def cdlp(spark: SparkSession, dir: String): DataFrame =
     CDLP.run(CoPurchase.graph(spark, dir), maxRound = 10)
       .select(col("vid").cast("long").as("vid"),

@@ -28,6 +28,7 @@ object SparkEntry {
     "g_degree" -> (Queries.degree(_, _)),
     "g_pagerank" -> (Queries.pagerank(_, _)),
     "g_wcc" -> (Queries.wcc(_, _)),
+    "g_wcc_incr_check" -> (Queries.gWccIncrCheck(_, _)),
     "g_cdlp" -> (Queries.cdlp(_, _)),
     "g_triangles" -> (Queries.triangles(_, _)),
     "g_clustering" -> (Queries.clustering(_, _)),
@@ -122,6 +123,7 @@ object SparkEntry {
     "g_degree" -> OracleSql.degree,
     "g_pagerank" -> OracleSql.pagerank(),
     "g_wcc" -> OracleSql.wcc(),
+    "g_wcc_incr_check" -> OracleSql.gWccIncrCheck,
     "g_cdlp" -> OracleSql.cdlp(),
     "g_triangles" -> OracleSql.triangles,
     "g_clustering" -> OracleSql.clustering,

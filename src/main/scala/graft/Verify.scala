@@ -48,7 +48,8 @@ object Verify {
     "s_snapshot_sink_check", "s_snapshot_prune_check",
     // graph: first entry builds the shared co-purchase graph
     "g_degree", "g_degree_centrality", "i_simple_path", "g_bfs",
-    "g_bfs_parents", "g_wcc", "g_pagerank", "g_pregel_pagerank",
+    "g_bfs_parents", "g_wcc", "g_wcc_incr_check", "g_pagerank",
+    "g_pregel_pagerank",
     "g_pregel_pagerank_agg", "g_pregel_sssp", "g_pregel_tc",
     "g_sampling_path", "g_lpa_u2i", "g_sssp", "g_sssp_has_path",
     "g_sssp_path", "g_dfs", "g_dfs_check",

@@ -80,4 +80,59 @@ object WCC {
 
     (res.state.select("vid", "comp"), res.completedRounds)
   }
+
+  /** Incremental WCC — exact component labels after an edge append,
+    * WITHOUT re-touching the old edge set (the reference's append-only
+    * ingest story, SURVEY.md §2.8, done one better than full recompute):
+    * contract every old component to its label vertex, map the new
+    * edges' endpoints through their old labels (unknown endpoints are
+    * genuinely new vertices and stay themselves), run WCC over the tiny
+    * contracted graph — |old components| + |new endpoints| vertices and
+    * |new edges| edges — and relabel. Exact because old labels are the
+    * min vid of their component, so the contracted min-vid labels equal
+    * the full-graph min-vid labels: components merge iff a new edge
+    * chain connects them.
+    *
+    * At 10^12 edges this is the difference between a full-graph
+    * superstep run and one over the day's delta: the old graph
+    * participates only through its (vid, comp) label relation.
+    *
+    * @param prevLabels (vid, comp) from a previous run/runIncremental
+    * @param newEdges   (src, dst), treated undirected like run()
+    * @return (vid, comp) over old ∪ new vertices */
+  def runIncremental(
+      prevLabels: DataFrame,
+      newEdges: DataFrame,
+      maxRounds: Int = 200): DataFrame = {
+    val labels = prevLabels.select(col("vid"), col("comp"))
+    val e = newEdges.select(col("src"), col("dst"))
+
+    val mapped = e
+      .join(labels.select(col("vid").as("src"), col("comp").as("csrc")),
+        Seq("src"), "left")
+      .join(labels.select(col("vid").as("dst"), col("comp").as("cdst")),
+        Seq("dst"), "left")
+      .select(coalesce(col("csrc"), col("src")).as("src"),
+        coalesce(col("cdst"), col("dst")).as("dst"))
+
+    val newEndpoints = e
+      .select(explode(array(col("src"), col("dst"))).as("vid")).distinct()
+      .join(labels.select("vid"), Seq("vid"), "left_anti")
+      .localCheckpoint(true)
+
+    val contractedVerts = labels.select(col("comp").as("vid")).distinct()
+      .unionByName(newEndpoints)
+    val contracted = graft.graph.SimpleGraph(
+      contractedVerts, mapped, directed = false)
+    val relabel = run(contracted, maxRounds).localCheckpoint(true)
+
+    // old vertices follow their component's new label; new vertices
+    // take theirs directly
+    labels
+      .join(relabel.select(col("vid").as("comp"), col("comp").as("nc")),
+        Seq("comp"))
+      .select(col("vid"), col("nc").as("comp"))
+      .unionByName(
+        newEndpoints.join(relabel, Seq("vid")).select("vid", "comp"))
+  }
 }

@@ -805,6 +805,11 @@ object OracleSql {
   /** Constant oracle for the self-checking incremental-dedup contract
     * (snapshot-table lifecycle + hash-dependent pairs are not SQL). */
   val dIncrDedupCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
+
+  /** Constant oracle for the self-checking incremental-WCC contract
+    * (incremental == full is asserted in-query; the full WCC itself has
+    * its own unrolled oracle at g_wcc). */
+  val gWccIncrCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
   val louvainCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
   val dMinhashCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
   val dSimhashCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"

@@ -89,6 +89,30 @@ object Queries {
       .select((if (mismatches == 0) lit(1L) else lit(0L)).as("ok"))
   }
 
+  /** Driver-visible contract for incremental triangle counting
+    * (Triangles.runIncremental): hash-split the co-purchase edges ~80/20
+    * into base + delta; counts updated from the delta-edge closures must
+    * equal the full-graph recount exactly on every vertex. Emits ok=1. */
+  def gTriIncrCheck(spark: SparkSession, dir: String): DataFrame = {
+    val g = CoPurchase.graph(spark, dir)
+    val edges = g.edges.select(col("src"), col("dst"))
+    val bucket = pmod(xxhash64(col("src"), col("dst")), lit(5))
+    val delta = edges.where(bucket === 0).localCheckpoint(true)
+    val base = edges.where(bucket =!= 0).localCheckpoint(true)
+    val prev = Triangles.run(graft.graph.SimpleGraph(
+      g.vertices, base, directed = false))
+    val incr = Triangles.runIncremental(prev, base, delta)
+    val full = triangleCounts(spark, dir)
+    val mismatches = incr
+      .select(col("vid"), col("triangles").as("ic"))
+      .join(full.select(col("vid"),
+        col("triangles").cast("long").as("fc")), Seq("vid"), "full")
+      .where(coalesce(col("ic"), lit(0L)) =!= coalesce(col("fc"), lit(0L)))
+      .count()
+    spark.range(1)
+      .select((if (mismatches == 0) lit(1L) else lit(0L)).as("ok"))
+  }
+
   def cdlp(spark: SparkSession, dir: String): DataFrame =
     CDLP.run(CoPurchase.graph(spark, dir), maxRound = 10)
       .select(col("vid").cast("long").as("vid"),

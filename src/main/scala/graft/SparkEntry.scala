@@ -29,6 +29,7 @@ object SparkEntry {
     "g_pagerank" -> (Queries.pagerank(_, _)),
     "g_wcc" -> (Queries.wcc(_, _)),
     "g_wcc_incr_check" -> (Queries.gWccIncrCheck(_, _)),
+    "g_tri_incr_check" -> (Queries.gTriIncrCheck(_, _)),
     "g_cdlp" -> (Queries.cdlp(_, _)),
     "g_triangles" -> (Queries.triangles(_, _)),
     "g_clustering" -> (Queries.clustering(_, _)),
@@ -124,6 +125,7 @@ object SparkEntry {
     "g_pagerank" -> OracleSql.pagerank(),
     "g_wcc" -> OracleSql.wcc(),
     "g_wcc_incr_check" -> OracleSql.gWccIncrCheck,
+    "g_tri_incr_check" -> OracleSql.gTriIncrCheck,
     "g_cdlp" -> OracleSql.cdlp(),
     "g_triangles" -> OracleSql.triangles,
     "g_clustering" -> OracleSql.clustering,

@@ -53,7 +53,8 @@ object Verify {
     "g_pregel_pagerank_agg", "g_pregel_sssp", "g_pregel_tc",
     "g_sampling_path", "g_lpa_u2i", "g_sssp", "g_sssp_has_path",
     "g_sssp_path", "g_dfs", "g_dfs_check",
-    "g_triangles", "g_clustering", "g_transitivity", "g_avg_clustering",
+    "g_triangles", "g_tri_incr_check",
+    "g_clustering", "g_transitivity", "g_avg_clustering",
     "g_cdlp", "g_kcore", "g_kshell",
     "g_hits", "g_eigenvector", "g_katz",
     // heavy tail: multi-round fixpoints / multi-source supersteps

@@ -90,6 +90,67 @@ object Triangles {
     res
   }
 
+  /** Exact per-vertex triangle counts after an edge append, touching the
+    * old edge relation in ONE pass semi-joined down to the delta's
+    * endpoints (vs re-orienting and intersecting the whole graph). Every
+    * new triangle contains at least one genuinely-new canonical edge, so
+    * generating common-neighbor closures per new edge finds them all;
+    * deduplicating by sorted triple keeps triangles with 2 or 3 new
+    * edges counted once. At 10^12 edges the full relation is scanned
+    * once to harvest the delta endpoints' neighbor lists — no global
+    * orientation, no global intersection.
+    *
+    * @param prevCounts (vid, triangles) from [[run]] on the old graph
+    * @param oldEdges   the edge relation prevCounts was computed on
+    * @param newEdges   appended edges (direction-insensitive, loops and
+    *                   re-sent duplicates ignored)
+    * @return (vid, triangles) over old ∪ new vertices */
+  def runIncremental(
+      prevCounts: DataFrame,
+      oldEdges: DataFrame,
+      newEdges: DataFrame): DataFrame = {
+    def canon(e: DataFrame) = e.select(
+        least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    val oldC = canon(oldEdges)
+    val fresh = canon(newEdges)
+      .join(oldC, Seq("src", "dst"), "left_anti")
+      .localCheckpoint(true)
+
+    val ends = fresh
+      .select(explode(array(col("src"), col("dst"))).as("vid")).distinct()
+      .localCheckpoint(true)
+
+    // Symmetric neighbor lists, only for delta endpoints (left_semi
+    // pushes the endpoint filter into the big scan).
+    val unionC = oldC.unionByName(fresh)
+    val sym = unionC.select(col("src").as("vid"), col("dst").as("nbr"))
+      .unionByName(unionC.select(col("dst").as("vid"), col("src").as("nbr")))
+    val adj = sym.join(ends, Seq("vid"), "left_semi")
+      .groupBy("vid").agg(collect_set(col("nbr")).as("nbrs"))
+
+    val triples = fresh
+      .join(adj.select(col("vid").as("src"), col("nbrs").as("na")), "src")
+      .join(adj.select(col("vid").as("dst"), col("nbrs").as("nb")), "dst")
+      .select(explode(array_intersect(col("na"), col("nb"))).as("w"),
+        col("src"), col("dst"))
+      .select(array_sort(array(col("src"), col("dst"), col("w")))
+        .as("t"))
+      .distinct()
+
+    val delta = triples
+      .select(explode(col("t")).as("vid"))
+      .groupBy("vid").agg(count(lit(1)).as("d"))
+
+    prevCounts.select("vid").unionByName(ends).distinct()
+      .join(prevCounts, Seq("vid"), "left")
+      .join(delta, Seq("vid"), "left")
+      .select(col("vid"),
+        (coalesce(col("triangles"), lit(0L)) +
+          coalesce(col("d"), lit(0L))).as("triangles"))
+  }
+
   /** Global triangle count = Σ per-vertex / 3. */
   def total(g: SimpleGraph): Long = {
     val r = run(g).agg(sum(col("triangles"))).head()

@@ -810,6 +810,11 @@ object OracleSql {
     * (incremental == full is asserted in-query; the full WCC itself has
     * its own unrolled oracle at g_wcc). */
   val gWccIncrCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
+
+  /** Constant oracle for the self-checking incremental-triangles
+    * contract (incremental == full recount asserted in-query; the full
+    * count has its own wedge oracle at g_triangles). */
+  val gTriIncrCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
   val louvainCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
   val dMinhashCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
   val dSimhashCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"

@@ -990,6 +990,42 @@ object Queries {
       .select((if (ok) lit(1L) else lit(0L)).as("ok"))
   }
 
+  /** Driver-visible contract for the streaming snapshot sink's
+    * exactly-once ledger (streaming.StreamIngest.commitBatch — the
+    * foreachBatch core): three document batches commit under ids 0..2,
+    * replays of already-committed ids are skipped, the high-water mark
+    * advances, and a downstream readIncremental sees exactly the last
+    * batch's rows. Emits ok=1. */
+  def sStreamIngestCheck(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    import graft.streaming.StreamIngest
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    def batch(i: Int) = docs.where(pmod(col("doc_id"), lit(3)) === i)
+    val (n0, n1, n2) = (batch(0).count(), batch(1).count(),
+      batch(2).count())
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-check")
+    val tbl = root.resolve("t").toString
+    val ok = try {
+      StreamIngest.commitBatch(batch(0), tbl, 0L) &&
+      StreamIngest.commitBatch(batch(1), tbl, 1L) &&
+      !StreamIngest.commitBatch(batch(0), tbl, 0L) && // replay skipped
+      !StreamIngest.commitBatch(batch(1), tbl, 1L) &&
+      StreamIngest.lastCommittedBatch(spark, tbl) == 1L &&
+      SnapshotTable.read(spark, tbl).count() == n0 + n1 &&
+      StreamIngest.commitBatch(batch(2), tbl, 2L) && {
+        val incr = SnapshotTable.readIncremental(spark, tbl, 2)
+        incr.count() == n2 &&
+          SnapshotTable.read(spark, tbl).count() == n0 + n1 + n2
+      }
+    } finally {
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    spark.range(1)
+      .select((if (ok) lit(1L) else lit(0L)).as("ok"))
+  }
+
   /** Driver-visible contract for the snapshot table's manifest-stats
     * file pruning and add-only incremental reads: three key-clustered
     * appends must yield (a) a mid-range scan that PLANS exactly one of

@@ -108,6 +108,7 @@ object SparkEntry {
     // Durable sinks (§2.7): snapshot-versioned table (seal-class ops)
     "s_snapshot_sink_check" -> (Queries.sSnapshotSinkCheck(_, _)),
     "s_snapshot_prune_check" -> (Queries.sSnapshotPruneCheck(_, _)),
+    "s_stream_ingest_check" -> (Queries.sStreamIngestCheck(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -154,6 +155,7 @@ object SparkEntry {
     "m_video_decode_check" -> OracleSql.mVideoDecodeCheck,
     "s_snapshot_sink_check" -> OracleSql.sSnapshotSinkCheck,
     "s_snapshot_prune_check" -> OracleSql.sSnapshotPruneCheck,
+    "s_stream_ingest_check" -> OracleSql.sStreamIngestCheck,
     "g_pregel_pagerank" -> OracleSql.pregelPagerank(),
     // aggregator-based full PageRank == the reference recurrence
     "g_pregel_pagerank_agg" -> OracleSql.pagerank(),

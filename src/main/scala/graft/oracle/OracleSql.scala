@@ -949,4 +949,8 @@ object OracleSql {
   /** Constant oracle for the self-checking snapshot stats-pruning +
     * incremental-read contract (file-planning behavior is not SQL). */
   val sSnapshotPruneCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
+
+  /** Constant oracle for the self-checking exactly-once streaming-sink
+    * ledger contract (commit/replay/high-water behavior is not SQL). */
+  val sStreamIngestCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
 }

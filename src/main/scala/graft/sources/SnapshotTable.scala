@@ -604,6 +604,58 @@ object SnapshotTable {
     }
   }
 
+  /** Change-data-capture between two snapshots, from the manifest file
+    * diff alone: rows in files added between `fromVersion` (exclusive)
+    * and `toVersion` (inclusive) are inserts, rows in files removed are
+    * deletes — NETTED as multisets (null-safe, full-row), so an upsert
+    * emits delete(old)+insert(new) for changed keys only, and
+    * content-preserving maintenance (compaction) emits nothing. Works
+    * across every commit kind, unlike the add-only [[readIncremental]].
+    *
+    * @return one row per distinct changed row-value, with
+    *         `_change_type` ('insert'/'delete') and `_count` columns */
+  def readChanges(spark: SparkSession, table: String, fromVersion: Int,
+      toVersion: Int = -1): DataFrame = {
+    val to = if (toVersion > 0) toVersion
+      else currentVersionOpt(spark, table).getOrElse(
+        throw new IllegalStateException(s"no table at $table"))
+    require(fromVersion >= 1 && to >= fromVersion,
+      s"need 1 <= fromVersion <= toVersion, got $fromVersion..$to")
+    val mFrom = manifest(spark, table, fromVersion)
+    val mTo = manifest(spark, table, to)
+    // read both sides in the newer schema: evolution only widens, and
+    // older files fill absent columns with null
+    val schema = DataType.fromJson(mTo.schemaJson).asInstanceOf[StructType]
+    val root = new Path(table)
+    def rd(fs: Seq[FileLineage]): DataFrame =
+      if (fs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema)
+        .parquet(fs.map(fl => new Path(root, fl.path).toString): _*)
+    val fromPaths = mFrom.files.map(_.path).toSet
+    val toPaths = mTo.files.map(_.path).toSet
+    val ins = rd(mTo.files.filterNot(fl => fromPaths(fl.path)))
+    val del = rd(mFrom.files.filterNot(fl => toPaths(fl.path)))
+
+    val cols = schema.fieldNames.toSeq
+    val i = ins.groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("_i")).alias("i")
+    val d = del.groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("_d")).alias("d")
+    // null-safe full-row join so null-bearing rows net correctly
+    val cond = cols.map(c => col(s"i.$c") <=> col(s"d.$c"))
+      .reduce(_ && _)
+    i.join(d, cond, "full")
+      .select(cols.map(c => coalesce(col(s"i.$c"), col(s"d.$c")).as(c)) ++
+        Seq((coalesce(col("_i"), lit(0L)) - coalesce(col("_d"), lit(0L)))
+          .as("_net")): _*)
+      .where(col("_net") =!= 0)
+      .select(cols.map(col) ++ Seq(
+        when(col("_net") > 0, lit("insert")).otherwise(lit("delete"))
+          .as("_change_type"),
+        abs(col("_net")).as("_count")): _*)
+  }
+
   /** All retained snapshots, oldest first. */
   def snapshots(spark: SparkSession, table: String): Seq[Manifest] =
     listVersions(spark, table).map(v => manifest(spark, table, v))

@@ -599,6 +599,43 @@ class SnapshotTableSpec extends SparkSpec {
     } finally rmrf(t)
   }
 
+  test("readChanges nets full-row multisets across any commit kind") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.EqualTo
+    val t = tmpTable("snap-cdc")
+    def changes(from: Int, to: Int = -1) =
+      SnapshotTable.readChanges(spark, t, from, to).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSet
+    try {
+      SnapshotTable.create(docs(0 until 50).repartition(1), t) // v1
+      SnapshotTable.append(docs(50 until 60).repartition(1), t) // v2
+      assert(changes(1, 2) ==
+        (50 until 60).map(i => (i.toLong, s"text-$i", "insert", 1L)).toSet)
+
+      // upsert: delete(old)+insert(new) ONLY for the changed key — the
+      // other rows of the rewritten file net out
+      SnapshotTable.upsert(
+        Seq((7L, "fixed-7")).toDF("id", "text"), t, Seq("id")) // v3
+      assert(changes(2, 3) ==
+        Set((7L, "text-7", "delete", 1L), (7L, "fixed-7", "insert", 1L)))
+
+      // compaction is content-preserving: zero changes
+      val v4 = SnapshotTable.compact(spark, t)
+      assert(changes(3, v4).isEmpty)
+
+      // delete emits the removed rows (and only them)
+      SnapshotTable.delete(spark, t, Seq(EqualTo("id", 55L))) // v5
+      assert(changes(v4) == Set((55L, "text-55", "delete", 1L)))
+
+      // the whole span nets create->now correctly for the changed keys
+      val span = changes(1)
+      assert(span.contains((7L, "fixed-7", "insert", 1L)) &&
+        span.contains((7L, "text-7", "delete", 1L)) &&
+        !span.exists(c => c._1 == 8L))
+    } finally rmrf(t)
+  }
+
   test("incremental read plans exactly the files appended in the range") {
     val t = tmpTable("snap-incr")
     try {

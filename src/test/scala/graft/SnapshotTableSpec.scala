@@ -599,6 +599,33 @@ class SnapshotTableSpec extends SparkSpec {
     } finally rmrf(t)
   }
 
+  test("concurrent appenders all land under optimistic concurrency") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val t = tmpTable("snap-race")
+    try {
+      SnapshotTable.create(docs(0 until 5), t)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      // four genuinely simultaneous appends race on the version file;
+      // losers must retry onto the next slot, losing no data
+      val versions = Await.result(
+        Future.sequence((0 until 4).map { k =>
+          Future(SnapshotTable.append(
+            docs((100 + k * 10) until (110 + k * 10)), t))
+        }), Duration(180, "s"))
+      pool.shutdown()
+      assert(versions.toSet == Set(2, 3, 4, 5),
+        s"each append must land a distinct version: $versions")
+      assert(SnapshotTable.read(spark, t).count() == 45,
+        "no append may be lost or doubled")
+      SnapshotTable.validate(spark, t, 5)
+      assert(SnapshotTable.snapshots(spark, t).map(_.parentVersion)
+        == Seq(-1, 1, 2, 3, 4), "linear history, no forks")
+    } finally rmrf(t)
+  }
+
   test("readChanges nets full-row multisets across any commit kind") {
     import spark.implicits._
     import org.apache.spark.sql.sources.EqualTo

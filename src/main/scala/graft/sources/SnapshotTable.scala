@@ -665,6 +665,11 @@ object SnapshotTable {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
+  /** The retained (non-expired) version numbers, ascending; empty when
+    * the table does not exist. One metadata LIST, no manifest reads. */
+  def retainedVersions(spark: SparkSession, table: String): Seq[Int] =
+    listVersions(spark, table)
+
   def manifest(spark: SparkSession, table: String, version: Int): Manifest = {
     val root = new Path(table)
     val f = fileSystem(spark, root)

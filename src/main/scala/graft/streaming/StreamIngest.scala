@@ -27,16 +27,21 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object StreamIngest {
 
   /** The table's committed stream high-water mark (-1 when the table
-    * does not exist yet or carries no stream commits). Scans only
-    * manifest summaries — never data. */
+    * does not exist yet or carries no stream commits). Walks retained
+    * manifests newest-first and stops at the first stream commit —
+    * batch ids grow with version, so that IS the max, and a long-lived
+    * stream reads one small JSON per batch instead of its whole history
+    * (maintenance commits in between just add a step each). Only
+    * summaries are read, never data. Caveat: after a manual rollback
+    * the mark still reflects the rolled-back-over stream commits
+    * (conservative — replays are skipped, never double-applied). */
   def lastCommittedBatch(spark: org.apache.spark.sql.SparkSession,
       table: String): Long =
-    SnapshotTable.currentVersionOpt(spark, table) match {
-      case None => -1L
-      case Some(_) => SnapshotTable.snapshots(spark, table)
-        .flatMap(_.summary.get("streamBatch")).map(_.toLong)
-        .maxOption.getOrElse(-1L)
-    }
+    SnapshotTable.retainedVersions(spark, table).sorted.reverseIterator
+      .map(v => SnapshotTable.manifest(spark, table, v)
+        .summary.get("streamBatch"))
+      .collectFirst { case Some(b) => b.toLong }
+      .getOrElse(-1L)
 
   /** Append one micro-batch with the exactly-once ledger check.
     * Returns true when the batch was committed, false when it was a

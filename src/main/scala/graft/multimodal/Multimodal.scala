@@ -424,10 +424,10 @@ object Multimodal {
   /** Distributed feature extraction: mapPartitions over the typed Dataset
     * (the Scala analogue of mapInPandas batch UDFs) — repartition first so
     * decode parallelism matches cores, independent of input file layout.
-    * Image rows take the REAL javax.imageio decode path and audio rows
-    * the REAL javax.sound.sampled WAV decode path (each falling back to
-    * the stub on undecodable bytes); only video stays stubbed (no video
-    * codec in this container). */
+    * Image rows take the REAL javax.imageio decode path, audio rows the
+    * REAL javax.sound.sampled WAV decode path, and video rows the REAL
+    * RIFF/AVI MJPEG demux + per-frame JPEG decode — each falling back to
+    * the stub only on undecodable bytes. */
   def extractFeatures(media: Dataset[MediaRow], numPartitions: Int = 0)
       : Dataset[MediaFeatures] = {
     val spark = media.sparkSession

@@ -53,7 +53,9 @@ object Iterate {
     * @param maxRounds run at most this many IncEval rounds
     * @param step     (state, round) => new state; round is 1-based. If the
     *                 returned frame has a `_changed` int/bool column it is
-    *                 summed for the convergence count and then dropped.
+    *                 summed for the convergence count, kept on the state
+    *                 (and in durable checkpoints — exact frontier resume),
+    *                 and dropped only from the returned Result.
     * @param stopWhenUnchanged terminate early when the `_changed` sum is 0
     *                 (fixed-round algorithms like PageRank/CDLP pass false)
     */
@@ -113,13 +115,27 @@ object Iterate {
       }
     }
     if (state == null) state = init.localCheckpoint(true)
+    else require(state.columns.toSet == init.columns.toSet,
+      s"checkpoint for runId '${checkpoint.runId}' has columns " +
+        s"${state.columns.toSeq} but this run's state is " +
+        s"${init.columns.toSeq} — wrong runId, or a pre-frontier-era " +
+        "checkpoint (re-run from scratch); a frontier cannot be " +
+        "reinvented on resume (an unreached vertex must not broadcast)")
 
     var round = startRound
     var done = false
     var prev = state
-    // Frontier-delta size from the previous round (-1 = unknown; resumes
-    // start unknown because the count isn't persisted with the state).
-    var lastChanged = if (startRound == 0) initChanged else -1L
+    // Frontier-delta size from the previous round. Fresh runs take the
+    // caller's hint; resumes recompute it exactly from the restored
+    // frontier column (checkpoints persist it), one agg once per resume.
+    var lastChanged =
+      if (startRound == 0) initChanged
+      else if (state.columns.contains("_changed"))
+        state.agg(sum(col("_changed").cast("long"))).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+      else -1L
     while (round < maxRounds && !done) {
       round += 1
       val t0 = System.nanoTime()
@@ -136,7 +152,6 @@ object Iterate {
             sum(col("_changed").cast("long")), count(lit(1))).head()
           (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
         } else (-1L, -1L)
-      val state1 = if (hasChanged) next.drop("_changed") else next
       val wall = (System.nanoTime() - t0) / 1000000
       val m = IterMetrics(checkpoint.runId, round, changed, rows,
         spark.sessionState.conf.numShufflePartitions, wall)
@@ -148,7 +163,7 @@ object Iterate {
         if (round % checkpoint.every == 0) {
           if (checkpoint.snapshot) {
             graft.sources.SnapshotTable.overwrite(
-              state1, s"$d/${checkpoint.runId}",
+              next, s"$d/${checkpoint.runId}",
               summary = Map(
                 "runId" -> checkpoint.runId,
                 "iteration" -> round.toString,
@@ -158,19 +173,26 @@ object Iterate {
                 "wallMs" -> wall.toString))
             appendMetrics(d, m)
           } else {
-            state1.write.mode("overwrite")
+            next.write.mode("overwrite")
               .parquet(s"$d/${checkpoint.runId}/iter_$round")
             appendMetrics(d, m)
-            appendLineage(d, checkpoint.runId, round, state1)
+            appendLineage(d, checkpoint.runId, round, next)
           }
         }
       }
       if (prev ne init) prev.unpersist()
-      prev = state1
+      prev = next
       if (hasChanged) lastChanged = changed
       if (hasChanged && stopWhenUnchanged && changed == 0L) done = true
     }
-    Result(prev, metrics, round)
+    // The frontier column is engine state: it stays on the in-session
+    // frame AND inside durable checkpoints (a resume needs the exact
+    // frontier — re-marking all vertices changed would make reachability
+    // apps broadcast from unreached vertices), but is dropped from the
+    // returned result.
+    val out = if (prev.columns.contains("_changed"))
+      prev.drop("_changed") else prev
+    Result(out, metrics, round)
   }
 
   private def latestCheckpoint(dir: String, runId: String)

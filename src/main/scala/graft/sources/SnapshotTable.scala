@@ -192,8 +192,9 @@ object SnapshotTable {
 
       val m = Manifest(curV + 1, curV, "compact", parent.schemaJson,
         newFiles, parent.rows,
-        Map("compactedFiles" -> parent.files.size.toString,
-          "intoFiles" -> newFiles.size.toString),
+        carryStreamMark(Some(parent),
+          Map("compactedFiles" -> parent.files.size.toString,
+            "intoFiles" -> newFiles.size.toString)),
         System.currentTimeMillis())
       if (tryPublish(f, root, m)) return m.version
       // A writer advanced the table mid-rewrite: our rewrite is stale.
@@ -270,8 +271,9 @@ object SnapshotTable {
       val files = untouched ++ newFiles
       val m = Manifest(curV + 1, curV, "upsert", parent.schemaJson,
         files, files.map(_.rows).sum,
-        summary ++ Map("rewrittenFiles" -> touched.size.toString,
-          "carriedFiles" -> untouched.size.toString),
+        carryStreamMark(Some(parent),
+          summary ++ Map("rewrittenFiles" -> touched.size.toString,
+            "carriedFiles" -> untouched.size.toString)),
         System.currentTimeMillis())
       if (tryPublish(f, root, m)) return m.version
       // A writer advanced the table mid-rewrite: redo against the new
@@ -320,9 +322,10 @@ object SnapshotTable {
       val total = files.map(_.rows).sum
       val m = Manifest(curV + 1, curV, "delete", parent.schemaJson,
         files, total,
-        summary ++ Map("rewrittenFiles" -> touched.size.toString,
-          "carriedFiles" -> untouched.size.toString,
-          "deletedRows" -> (parent.rows - total).toString),
+        carryStreamMark(Some(parent),
+          summary ++ Map("rewrittenFiles" -> touched.size.toString,
+            "carriedFiles" -> untouched.size.toString,
+            "deletedRows" -> (parent.rows - total).toString)),
         System.currentTimeMillis())
       if (tryPublish(f, root, m)) return m.version
       f.delete(dataDir, true)
@@ -371,7 +374,8 @@ object SnapshotTable {
         case _ => newFiles
       }
       val m = Manifest(curV.getOrElse(0) + 1, curV.getOrElse(-1), op,
-        manifestSchema, files, files.map(_.rows).sum, summary,
+        manifestSchema, files, files.map(_.rows).sum,
+        carryStreamMark(parent, summary),
         System.currentTimeMillis())
       if (tryPublish(f, root, m)) return m.version
       attempt += 1
@@ -623,8 +627,16 @@ object SnapshotTable {
       s"need 1 <= fromVersion <= toVersion, got $fromVersion..$to")
     val mFrom = manifest(spark, table, fromVersion)
     val mTo = manifest(spark, table, to)
-    // read both sides in the newer schema: evolution only widens, and
-    // older files fill absent columns with null
+    // read both sides in the newer schema — sound only when the older
+    // schema is a prefix/subset of it (append evolution widens; an
+    // overwrite can replace the schema arbitrarily, and diffing across
+    // that would mis-project the delete side): refuse loudly instead.
+    def key(j: String) = DataType.fromJson(j).asInstanceOf[StructType]
+      .fields.map(f => (f.name, f.dataType.sql)).toSet
+    require(key(mFrom.schemaJson).subsetOf(key(mTo.schemaJson)),
+      s"cannot diff $table v$fromVersion..v$to: v$fromVersion's schema " +
+        "is not a subset of the newer one (incompatible overwrite in " +
+        "the range)")
     val schema = DataType.fromJson(mTo.schemaJson).asInstanceOf[StructType]
     val root = new Path(table)
     def rd(fs: Seq[FileLineage]): DataFrame =
@@ -754,10 +766,24 @@ object SnapshotTable {
     orphans.size
   }
 
+  /** The streaming high-water mark (`streamBatch`, written by
+    * graft.streaming.StreamIngest) is table-level watermark metadata:
+    * every child commit inherits it unless it sets its own, so
+    * maintenance (compact/upsert/delete) and interleaved plain appends
+    * never regress the exactly-once ledger — even after [[expire]]
+    * drops the original stream commits. */
+  private def carryStreamMark(parent: Option[Manifest],
+      summary: Map[String, String]): Map[String, String] =
+    if (summary.contains("streamBatch")) summary
+    else summary ++ parent.flatMap(_.summary.get("streamBatch"))
+      .map("streamBatch" -> _)
+
   // ----------------------------------------------------- stats evaluation
 
   /** Orders a stat's rendered value against a filter literal through the
-    * column's type. Stats exist only for [[statableCols]] types. */
+    * column's type. Stats exist only for [[statableCols]] types. Throws
+    * on anything it cannot order soundly — [[mightMatch]] folds that to
+    * "keep the file". */
   private def cmp(dt: DataType, statVal: String, litVal: Any): Int =
     dt match {
       case _: NumericType =>
@@ -766,10 +792,26 @@ object SnapshotTable {
       case BooleanType =>
         java.lang.Boolean.compare(statVal.toBoolean,
           litVal.toString.toBoolean)
-      // StringType compares raw; Date/Timestamp cast(string) renderings
-      // ("2024-01-02", "2024-01-02 10:11:12.13") are ISO — lexicographic
-      // order IS chronological order, and filter literals (java.sql.Date/
-      // Timestamp or their string forms) render the same way.
+      // Timestamps CANNOT be compared lexicographically against
+      // litVal.toString: Spark's cast(string) trims the fraction
+      // ("... 10:11:12") while java.sql.Timestamp.toString always emits
+      // one ("... 10:11:12.0") — parse both sides instead. Assumes the
+      // session renders stats in the JVM default zone (Spark's default);
+      // an exotic literal type throws -> the file is kept.
+      case TimestampType =>
+        val sv = java.sql.Timestamp.valueOf(statVal)
+        val lv = litVal match {
+          case t: java.sql.Timestamp => t
+          case i: java.time.Instant => java.sql.Timestamp.from(i)
+          case l: java.time.LocalDateTime => java.sql.Timestamp.valueOf(l)
+          case s: String => java.sql.Timestamp.valueOf(s)
+          case other => throw new IllegalArgumentException(
+            s"unorderable timestamp literal: ${other.getClass}")
+        }
+        sv.compareTo(lv)
+      // StringType compares raw; Date cast(string) renders ISO
+      // "2024-01-02" and java.sql.Date/LocalDate literals render the
+      // same — lexicographic order IS chronological order.
       case _ => statVal.compareTo(litVal.toString)
     }
 

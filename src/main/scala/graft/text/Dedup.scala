@@ -203,7 +203,13 @@ object Dedup {
     * shingled only for the delta — the corpus side touches just the
     * narrow signature relation, and the union of every step's pairs
     * equals a full [[minhashPairs]] recompute over the final corpus
-    * (each pair surfaces when its later document arrives).
+    * (each pair surfaces when its later document arrives). One caveat:
+    * the hub-bucket cap is evaluated per step, so a pair emitted while
+    * its band bucket was still under `maxBucket` stays in the
+    * accumulated log even if later growth pushes that bucket over the
+    * cap (where a full recompute would then drop the whole bucket) —
+    * the incremental log never loses recall, it can only keep early
+    * pairs a fresh recompute's cap would suppress.
     *
     * @return the new near-dup pairs (id_a, id_b, est_jaccard) */
   def incrementalDedupStep(

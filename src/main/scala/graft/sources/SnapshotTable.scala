@@ -452,11 +452,14 @@ object SnapshotTable {
   /** Atomic put-if-absent of the manifest: write a hidden tmp file, then
     * publish. POSIX: hard-link create (atomic, fails when the target
     * exists). HDFS-likes: rename, which fails when the destination
-    * exists (HDFS contract) — plus a read-back confirmation as defense
-    * for stores whose rename CAN overwrite (an overwritten loser sees
-    * foreign bytes and retries at the next version instead of silently
-    * believing its commit landed). The loser of a race sees `false` and
-    * retries with a re-read current version. */
+    * exists (HDFS contract) — the loser of a race sees `false` and
+    * retries with a re-read current version. The read-back confirmation
+    * is best-effort defense for stores whose rename CAN overwrite: it
+    * catches the common loser-lands-second case but is NOT a full
+    * guard (a loser overwriting after the winner's read-back is
+    * undetectable here — exactly why Iceberg requires an atomic
+    * swap primitive per store; on such stores run a single committer
+    * or front this with a lock service). */
   private def tryPublish(f: FileSystem, root: Path, m: Manifest): Boolean = {
     val metaDir = new Path(root, "metadata")
     f.mkdirs(metaDir)

@@ -115,12 +115,24 @@ object Iterate {
       }
     }
     if (state == null) state = init.localCheckpoint(true)
-    else require(state.columns.toSet == init.columns.toSet,
-      s"checkpoint for runId '${checkpoint.runId}' has columns " +
-        s"${state.columns.toSeq} but this run's state is " +
-        s"${init.columns.toSeq} — wrong runId, or a pre-frontier-era " +
-        "checkpoint (re-run from scratch); a frontier cannot be " +
-        "reinvented on resume (an unreached vertex must not broadcast)")
+    else {
+      // Checkpoints persist the step OUTPUT, which may carry `_changed`
+      // even when `init` does not (steps that derive their frontier from
+      // the state each round, e.g. the Pregel runner): tolerate exactly
+      // that extra column and drop it so the step sees the same shape as
+      // in an unresumed run. Anything else is a wrong runId or a
+      // pre-frontier-era checkpoint — refuse; a frontier cannot be
+      // reinvented on resume (an unreached vertex must not broadcast).
+      val want = init.columns.toSet
+      val got = state.columns.toSet
+      require(got == want || got == want + "_changed",
+        s"checkpoint for runId '${checkpoint.runId}' has columns " +
+          s"${state.columns.toSeq} but this run's state is " +
+          s"${init.columns.toSeq} — wrong runId, or a pre-frontier-era " +
+          "checkpoint (re-run from scratch)")
+      if (!want.contains("_changed") && got.contains("_changed"))
+        state = state.drop("_changed")
+    }
 
     var round = startRound
     var done = false

@@ -132,7 +132,8 @@ object SnapshotTable {
         throw new IllegalStateException(s"no table at $table"))
       val m = Manifest(curV + 1, curV, "rollback", old.schemaJson,
         old.files, old.rows,
-        Map("rolledBackTo" -> asOfVersion.toString),
+        carryStreamMark(Some(manifest(spark, table, curV)),
+          Map("rolledBackTo" -> asOfVersion.toString)),
         System.currentTimeMillis())
       if (tryPublish(f, root, m)) return m.version
       attempt += 1
@@ -408,10 +409,18 @@ object SnapshotTable {
     val cols = onDisk.columns.map(col)
     val statCols = statableCols(onDisk.schema)
     val statExprs = statCols.zipWithIndex.flatMap { case (f, i) =>
-      val c = col(f.name)
+      val base = col(f.name)
+      // Timestamps are recorded as epoch MICROS, not cast(string):
+      // the string rendering depends on spark.sql.session.timeZone and
+      // would mis-order against instant literals under a session/JVM
+      // zone mismatch (silent wrong pruning). Micros are zone-free.
+      val c = f.dataType match {
+        case TimestampType => unix_micros(base)
+        case _ => base
+      }
       Seq(min(c).cast("string").as(s"_mn$i"),
         max(c).cast("string").as(s"_mx$i"),
-        sum(when(c.isNull, 1L).otherwise(0L)).as(s"_nn$i"))
+        sum(when(base.isNull, 1L).otherwise(0L)).as(s"_nn$i"))
     }
     val aggExprs =
       sum(xxhash64(cols: _*).cast("decimal(38,0)")).as("checksum") +:
@@ -795,21 +804,22 @@ object SnapshotTable {
       case BooleanType =>
         java.lang.Boolean.compare(statVal.toBoolean,
           litVal.toString.toBoolean)
-      // Timestamps CANNOT be compared lexicographically against
-      // litVal.toString: Spark's cast(string) trims the fraction
-      // ("... 10:11:12") while java.sql.Timestamp.toString always emits
-      // one ("... 10:11:12.0") — parse both sides instead. Assumes the
-      // session renders stats in the JVM default zone (Spark's default);
-      // an exotic literal type throws -> the file is kept.
+      // Timestamp stats are epoch micros (see fileLineage) — zone-free
+      // instant compare. Legacy manifests rendered wall-clock strings
+      // instead; those fail the numeric parse and the file is kept
+      // (sound). String/LocalDateTime literals are wall-clock and
+      // zone-ambiguous: throw -> keep.
       case TimestampType =>
-        val sv = java.sql.Timestamp.valueOf(statVal)
+        def micros(sec: Long, nano: Int) = sec * 1000000L + nano / 1000
+        val sv = new java.math.BigDecimal(statVal)
         val lv = litVal match {
-          case t: java.sql.Timestamp => t
-          case i: java.time.Instant => java.sql.Timestamp.from(i)
-          case l: java.time.LocalDateTime => java.sql.Timestamp.valueOf(l)
-          case s: String => java.sql.Timestamp.valueOf(s)
+          case t: java.sql.Timestamp =>
+            val i = t.toInstant
+            java.math.BigDecimal.valueOf(micros(i.getEpochSecond, i.getNano))
+          case i: java.time.Instant =>
+            java.math.BigDecimal.valueOf(micros(i.getEpochSecond, i.getNano))
           case other => throw new IllegalArgumentException(
-            s"unorderable timestamp literal: ${other.getClass}")
+            s"zone-ambiguous timestamp literal: ${other.getClass}")
         }
         sv.compareTo(lv)
       // StringType compares raw; Date cast(string) renders ISO

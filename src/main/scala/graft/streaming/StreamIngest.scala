@@ -37,7 +37,7 @@ object StreamIngest {
     * (conservative — replays are skipped, never double-applied). */
   def lastCommittedBatch(spark: org.apache.spark.sql.SparkSession,
       table: String): Long =
-    SnapshotTable.retainedVersions(spark, table).sorted.reverseIterator
+    SnapshotTable.retainedVersions(spark, table).reverseIterator
       .map(v => SnapshotTable.manifest(spark, table, v)
         .summary.get("streamBatch"))
       .collectFirst { case Some(b) => b.toLong }

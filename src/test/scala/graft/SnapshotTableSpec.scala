@@ -425,6 +425,42 @@ class SnapshotTableSpec extends SparkSpec {
         Seq(EqualTo("ts", ts(7).toInstant)))
       assert(viaInstant.count() == 1 &&
         viaInstant.head().getLong(0) == 7L)
+
+      // and pruning stays sound when the session zone differs from the
+      // JVM zone (stats are epoch micros, not wall-clock strings)
+      val prevTz = spark.conf.get("spark.sql.session.timeZone")
+      spark.conf.set("spark.sql.session.timeZone",
+        "America/Los_Angeles")
+      val t2 = tmpTable("snap-ts-tz")
+      try {
+        SnapshotTable.create(
+          (0L until 10L).map(i => (i, ts(i))).toDF("id", "ts")
+            .repartition(1), t2)
+        val h = SnapshotTable.scan(spark, t2, Seq(EqualTo("ts", ts(3))))
+        assert(h.count() == 1 && h.head().getLong(0) == 3L,
+          "zone mismatch must not shift the stat bounds")
+      } finally {
+        rmrf(t2)
+        spark.conf.set("spark.sql.session.timeZone", prevTz)
+      }
+    } finally rmrf(t)
+  }
+
+  test("stream high-water mark survives a rollback") {
+    import spark.implicits._
+    import graft.streaming.StreamIngest
+    val t = tmpTable("snap-hwm-rb")
+    try {
+      def batch(ids: Range) = ids.map(i => (i.toLong, s"b-$i"))
+        .toDF("id", "text")
+      StreamIngest.commitBatch(batch(0 until 10), t, 0L)
+      StreamIngest.commitBatch(batch(10 until 20), t, 1L)
+      SnapshotTable.rollback(spark, t, 1)
+      SnapshotTable.expire(spark, t, keepLast = 1)
+      assert(StreamIngest.lastCommittedBatch(spark, t) == 1L,
+        "rollback must carry the ledger (conservative: skip, never " +
+          "double-apply)")
+      assert(!StreamIngest.commitBatch(batch(10 until 20), t, 1L))
     } finally rmrf(t)
   }
 

@@ -880,8 +880,11 @@ object Queries {
     feats.where(col("kind") === "video")
       .join(meta, "media_id")
       .select(
+        // mirror the muxer's INTEGER truncation (Multimodal.scala
+        // math.max(1, duration_ms * fps / 1000).toInt) — real division
+        // only agrees while durations happen to be multiples of 250 ms
         when(element_at(col("feature"), 1) ===
-            greatest(lit(1.0), col("duration_ms") * 4.0 / 1000.0)
+            greatest(lit(1L), floor(col("duration_ms") * 4 / 1000))
               .cast("float")
           && element_at(col("feature"), 2) === col("width").cast("float")
           && element_at(col("feature"), 3) === col("height").cast("float")

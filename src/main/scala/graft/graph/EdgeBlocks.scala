@@ -482,48 +482,58 @@ object EdgeBlocks {
         Array[Double], Array[VertexLongValue])]
       .mapPartitions { it =>
         it.flatMap { case (_, srcs, offs, idx, uniq, ws, vals) =>
-          val sorted = vals.sortBy(_.vid)
-          val acc = Array.fill(uniq.length)(null: mutable.LongMap[Double])
-          var si = 0
-          var vi = 0
-          while (si < srcs.length && vi < sorted.length) {
-            val s = srcs(si)
-            val v = sorted(vi).vid
-            if (s < v) si += 1
-            else if (s > v) vi += 1
-            else {
-              // labels are one row per vid (an assignment); skip any
-              // duplicate-vid run defensively, keeping the first
-              val label = sorted(vi).value
-              vi += 1
-              while (vi < sorted.length && sorted(vi).vid == s) vi += 1
-              var j = offs(si)
-              val end = offs(si + 1)
-              while (j < end) {
-                val k = idx(j)
-                if (acc(k) == null) acc(k) = mutable.LongMap.empty[Double]
-                val m = acc(k)
-                m.update(label, m.getOrElse(label, 0.0) + ws(j))
-                j += 1
-              }
-              si += 1
-            }
-          }
-          val out = mutable.ArrayBuffer[LabelPartial]()
-          var k = 0
-          while (k < uniq.length) {
-            if (acc(k) != null)
-              acc(k).foreach { case (l, w) =>
-                out += LabelPartial(uniq(k), l, w) }
-            k += 1
-          }
-          out.iterator
+          labelGatherWalk(srcs, offs, idx, uniq, vals, j => ws(j))
         }
       }
       .groupBy("vid", "label").agg(sum(col("partial")).as("sum_w"))
   }
 
-  final case class LabelCountPartial(vid: Long, label: Long, partial: Long)
+  /** The shared merge-join walk of both label gathers: per
+    * (dst, label(src)) accumulate `weightOf(edge)` over the CSR block.
+    * Counts ride the same Double accumulator (exact to 2^53 — far past
+    * any per-dst degree), so sum and count differ only in the weight
+    * function and the final cast. */
+  private def labelGatherWalk(
+      srcs: Array[Long], offs: Array[Int], idx: Array[Int],
+      uniq: Array[Long], vals: Array[VertexLongValue],
+      weightOf: Int => Double): Iterator[LabelPartial] = {
+    val sorted = vals.sortBy(_.vid)
+    val acc = Array.fill(uniq.length)(null: mutable.LongMap[Double])
+    var si = 0
+    var vi = 0
+    while (si < srcs.length && vi < sorted.length) {
+      val s = srcs(si)
+      val v = sorted(vi).vid
+      if (s < v) si += 1
+      else if (s > v) vi += 1
+      else {
+        // labels are one row per vid (an assignment); skip any
+        // duplicate-vid run defensively, keeping the first
+        val label = sorted(vi).value
+        vi += 1
+        while (vi < sorted.length && sorted(vi).vid == s) vi += 1
+        var j = offs(si)
+        val end = offs(si + 1)
+        while (j < end) {
+          val k = idx(j)
+          if (acc(k) == null) acc(k) = mutable.LongMap.empty[Double]
+          val m = acc(k)
+          m.update(label, m.getOrElse(label, 0.0) + weightOf(j))
+          j += 1
+        }
+        si += 1
+      }
+    }
+    val out = mutable.ArrayBuffer[LabelPartial]()
+    var k = 0
+    while (k < uniq.length) {
+      if (acc(k) != null)
+        acc(k).foreach { case (l, w) =>
+          out += LabelPartial(uniq(k), l, w) }
+      k += 1
+    }
+    out.iterator
+  }
 
   /** gather-label-count over a LONG-labeled state on UNWEIGHTED blocks
     * (the CDLP neighbor-label-multiset shape): for every dst with at
@@ -546,45 +556,11 @@ object EdgeBlocks {
         Array[VertexLongValue])]
       .mapPartitions { it =>
         it.flatMap { case (_, srcs, offs, idx, uniq, vals) =>
-          val sorted = vals.sortBy(_.vid)
-          val acc = Array.fill(uniq.length)(null: mutable.LongMap[Long])
-          var si = 0
-          var vi = 0
-          while (si < srcs.length && vi < sorted.length) {
-            val s = srcs(si)
-            val v = sorted(vi).vid
-            if (s < v) si += 1
-            else if (s > v) vi += 1
-            else {
-              // labels are one row per vid (an assignment); skip any
-              // duplicate-vid run defensively, keeping the first
-              val label = sorted(vi).value
-              vi += 1
-              while (vi < sorted.length && sorted(vi).vid == s) vi += 1
-              var j = offs(si)
-              val end = offs(si + 1)
-              while (j < end) {
-                val k = idx(j)
-                if (acc(k) == null) acc(k) = mutable.LongMap.empty[Long]
-                val m = acc(k)
-                m.update(label, m.getOrElse(label, 0L) + 1L)
-                j += 1
-              }
-              si += 1
-            }
-          }
-          val out = mutable.ArrayBuffer[LabelCountPartial]()
-          var k = 0
-          while (k < uniq.length) {
-            if (acc(k) != null)
-              acc(k).foreach { case (l, c) =>
-                out += LabelCountPartial(uniq(k), l, c) }
-            k += 1
-          }
-          out.iterator
+          labelGatherWalk(srcs, offs, idx, uniq, vals, _ => 1.0)
         }
       }
-      .groupBy("vid", "label").agg(sum(col("partial")).as("cnt"))
+      .groupBy("vid", "label")
+      .agg(sum(col("partial")).cast("long").as("cnt"))
   }
 
   /** gather-min over a LONG-valued vertex state (the WCC/label shape):

@@ -227,9 +227,14 @@ object SnapshotTable {
     require(dfc.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
       .where(col("n") > 1).isEmpty,
       s"upsert rows must be unique on $keyCols")
+    // Size-gate the key broadcast (same posture as graph/Strategy): a
+    // bulk MERGE's key set can be arbitrarily large — above the gate the
+    // anti-join shuffles instead of collecting every key to the driver.
+    val nDelta = dfc.count()
+    val broadcastKeys = nDelta <= 4L * 1000 * 1000
     val curV0 = currentVersionOpt(spark, table).getOrElse(
       throw new IllegalStateException(s"no table at $table"))
-    if (dfc.isEmpty) return curV0
+    if (nDelta == 0L) return curV0
 
     var attempt = 0
     while (true) {
@@ -260,10 +265,14 @@ object SnapshotTable {
       val survivors =
         if (touched.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-        else spark.read.schema(schema)
-          .parquet(touched.map(fl => new Path(root, fl.path).toString): _*)
-          .join(broadcast(dfc.select(keyCols.map(col): _*)),
-            keyCols, "left_anti")
+        else {
+          val keys = dfc.select(keyCols.map(col): _*)
+          spark.read.schema(schema)
+            .parquet(touched.map(fl =>
+              new Path(root, fl.path).toString): _*)
+            .join(if (broadcastKeys) broadcast(keys) else keys,
+              keyCols, "left_anti")
+        }
       survivors.select(schema.fieldNames.map(col): _*)
         .unionByName(dfc.select(schema.fieldNames.map(col): _*))
         .write.mode("errorifexists").parquet(dataDir.toString)
@@ -313,9 +322,14 @@ object SnapshotTable {
 
       val uuid = java.util.UUID.randomUUID().toString
       val dataDir = new Path(root, s"data/$uuid")
+      // survivors = rows where the predicate is FALSE **or NULL** — SQL
+      // DELETE only removes rows the predicate affirms, and a bare
+      // where(!pred) would silently drop NULL-predicate rows (and do so
+      // only in files the stats happened to touch)
       spark.read.schema(schema)
         .parquet(touched.map(fl => new Path(root, fl.path).toString): _*)
-        .where(!filters.map(toColumn).reduce(_ && _))
+        .where(!coalesce(filters.map(toColumn).reduce(_ && _),
+          lit(false)))
         .write.mode("errorifexists").parquet(dataDir.toString)
       val newFiles =
         fileLineage(spark.read.schema(schema).parquet(dataDir.toString))
@@ -337,8 +351,39 @@ object SnapshotTable {
     -1 // unreachable
   }
 
+  /** Signals that a [[appendBatch]] lost its race: a concurrent writer
+    * already committed the same (or a newer) stream batch id. */
+  private[graft] final class BatchAlreadyCommitted(val batchId: Long)
+    extends RuntimeException(s"stream batch $batchId already committed")
+
+  /** Exactly-once streaming append: commits `df` under `streamBatch` id
+    * `batchId`, gated ATOMICALLY on the table's carried high-water mark.
+    * The gate re-evaluates against the freshly-read parent inside the
+    * optimistic publish loop (every commit carries the mark forward, so
+    * the parent is authoritative): of two racing committers of the same
+    * batch, the loser's retry reads a parent that already carries the
+    * id and returns false — the check-then-append race a caller-side
+    * ledger read cannot close. Creates the table when absent. */
+  def appendBatch(df: DataFrame, table: String, batchId: Long): Boolean =
+    try {
+      val spark = df.sparkSession
+      val summary = Map("streamBatch" -> batchId.toString)
+      val gate = Some(batchId)
+      if (currentVersionOpt(spark, table).isEmpty)
+        try commit(df, table, "create", summary, streamBatchGate = gate)
+        catch {
+          // lost the CREATE race: the table exists now — append, gated
+          case e: IllegalArgumentException
+              if e.getMessage.contains("already exists") =>
+            commit(df, table, "append", summary, streamBatchGate = gate)
+        }
+      else commit(df, table, "append", summary, streamBatchGate = gate)
+      true
+    } catch { case _: BatchAlreadyCommitted => false }
+
   private def commit(df: DataFrame, table: String, op: String,
-      summary: Map[String, String], mergeSchema: Boolean = false): Int = {
+      summary: Map[String, String], mergeSchema: Boolean = false,
+      streamBatchGate: Option[Long] = None): Int = {
     val spark = df.sparkSession
     val root = new Path(table)
     val f = fileSystem(spark, root)
@@ -359,6 +404,15 @@ object SnapshotTable {
     while (true) {
       val curV = currentVersionOpt(spark, table)
       val parent = curV.map(v => manifest(spark, table, v))
+      // Atomic exactly-once gate ([[appendBatch]]): re-checked against
+      // the freshly-read parent on EVERY publish attempt, so a racing
+      // same-batch committer cannot slip through between a caller-side
+      // ledger read and the commit.
+      streamBatchGate.foreach { b =>
+        if (parent.flatMap(_.summary.get("streamBatch"))
+            .exists(_.toLong >= b))
+          throw new BatchAlreadyCommitted(b)
+      }
       val manifestSchema = op match {
         case "create" =>
           require(parent.isEmpty, s"table $table already exists " +

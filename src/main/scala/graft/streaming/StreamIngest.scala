@@ -45,19 +45,17 @@ object StreamIngest {
 
   /** Append one micro-batch with the exactly-once ledger check.
     * Returns true when the batch was committed, false when it was a
-    * replay of an already-committed id (skipped). Public so the
-    * idempotence contract is directly testable. */
+    * replay of an already-committed id (skipped). The cheap ledger read
+    * is only a fast path — the authoritative gate re-evaluates ATOMICALLY
+    * inside the snapshot commit loop ([[SnapshotTable.appendBatch]]), so
+    * two concurrent committers of the same batch (a zombie driver racing
+    * a restarted query) cannot both land it. Public so the idempotence
+    * contract is directly testable. */
   def commitBatch(batch: DataFrame, table: String, batchId: Long)
       : Boolean = {
     val spark = batch.sparkSession
     if (batchId <= lastCommittedBatch(spark, table)) false
-    else {
-      val summary = Map("streamBatch" -> batchId.toString)
-      if (SnapshotTable.currentVersionOpt(spark, table).isEmpty)
-        SnapshotTable.create(batch, table, summary)
-      else SnapshotTable.append(batch, table, summary)
-      true
-    }
+    else SnapshotTable.appendBatch(batch, table, batchId)
   }
 
   /** Start ingesting a streaming DataFrame into `table`. Works for raw

@@ -642,6 +642,51 @@ class SnapshotTableSpec extends SparkSpec {
     } finally rmrf(t)
   }
 
+  test("delete keeps NULL-predicate rows (SQL DELETE semantics)") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.EqualTo
+    val t = tmpTable("snap-del-null")
+    try {
+      SnapshotTable.create(
+        Seq((1L, "a"), (2L, null: String), (3L, "b"))
+          .toDF("id", "text").repartition(1), t)
+      SnapshotTable.delete(spark, t, Seq(EqualTo("text", "a")))
+      val left = SnapshotTable.read(spark, t).collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(left == Seq(2L, 3L),
+        "DELETE WHERE text='a' must keep the NULL-text row")
+    } finally rmrf(t)
+  }
+
+  test("the stream-batch gate is atomic inside the commit loop") {
+    import spark.implicits._
+    val t = tmpTable("snap-gate")
+    try {
+      val b = Seq((1L, "x")).toDF("id", "text")
+      assert(SnapshotTable.appendBatch(b, t, 0L))
+      // a second committer of the SAME id loses even without the
+      // caller-side ledger pre-check (the zombie-driver race)
+      assert(!SnapshotTable.appendBatch(b, t, 0L))
+      assert(!SnapshotTable.appendBatch(b, t, 0L))
+      assert(SnapshotTable.appendBatch(b, t, 1L))
+      assert(SnapshotTable.read(spark, t).count() == 2)
+      // simultaneous same-id committers: exactly one wins
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val wins = Await.result(
+        Future.sequence((0 until 4).map { _ =>
+          Future(SnapshotTable.appendBatch(b, t, 2L))
+        }), Duration(180, "s"))
+      pool.shutdown()
+      assert(wins.count(identity) == 1,
+        s"exactly one same-batch committer may land: $wins")
+      assert(SnapshotTable.read(spark, t).count() == 3)
+    } finally rmrf(t)
+  }
+
   test("schema evolution: mergeSchema appends widen, old files read null") {
     import spark.implicits._
     val t = tmpTable("snap-evolve")

@@ -122,19 +122,30 @@ object Triangles {
       .select(explode(array(col("src"), col("dst"))).as("vid")).distinct()
       .localCheckpoint(true)
 
-    // Symmetric neighbor lists, only for delta endpoints (left_semi
-    // pushes the endpoint filter into the big scan).
+    // Join-based wedge closure — the hub-safe form: a delta endpoint's
+    // adjacency stays DISTRIBUTED as (vid, nbr) rows instead of being
+    // collect_set'd into one array row (a 10^8-degree hub would
+    // otherwise materialize a multi-GB single row and OOM the task,
+    // unlike the salted/degree-oriented paths everywhere else). For each
+    // fresh edge (src, dst): wedge candidates w ∈ N(src) come from one
+    // join on src; w also ∈ N(dst) is a left_semi against the same
+    // symmetric relation on (dst, w). The old relation is still touched
+    // only via delta-endpoint-keyed joins.
     val unionC = oldC.unionByName(fresh)
     val sym = unionC.select(col("src").as("vid"), col("dst").as("nbr"))
       .unionByName(unionC.select(col("dst").as("vid"), col("src").as("nbr")))
-    val adj = sym.join(ends, Seq("vid"), "left_semi")
-      .groupBy("vid").agg(collect_set(col("nbr")).as("nbrs"))
-
-    val triples = fresh
-      .join(adj.select(col("vid").as("src"), col("nbrs").as("na")), "src")
-      .join(adj.select(col("vid").as("dst"), col("nbrs").as("nb")), "dst")
-      .select(explode(array_intersect(col("na"), col("nb"))).as("w"),
-        col("src"), col("dst"))
+    // One pass over the big relation (left_semi pushes the endpoint
+    // filter into the scan); the result stays row-distributed and is
+    // pinned once for the two closure joins below.
+    val symEnds = sym.join(ends, Seq("vid"), "left_semi")
+      .localCheckpoint(true)
+    val wedges = fresh
+      .join(symEnds.select(col("vid").as("src"), col("nbr").as("w")),
+        "src")
+      .where(col("w") =!= col("dst"))
+    val triples = wedges
+      .join(symEnds.select(col("vid").as("dst"), col("nbr").as("w")),
+        Seq("dst", "w"), "left_semi")
       .select(array_sort(array(col("src"), col("dst"), col("w")))
         .as("t"))
       .distinct()

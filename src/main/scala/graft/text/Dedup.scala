@@ -81,11 +81,14 @@ object Dedup {
 
     val banded = bandedOf(sigs, bands, rows)
 
-    // Cap pathological buckets (all-identical boilerplate).
-    val capped = banded.withColumn("bn",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bh"))))
-      .where(col("bn") <= maxBucket).drop("bn")
+    // Cap pathological buckets (all-identical boilerplate) with a
+    // groupBy-count semi-join: map-side combinable partial counts, no
+    // per-key Window sort over the full exploded relation (the window
+    // form added a needless sort at 100 TB; one cap implementation,
+    // shared shape with incrementalMinhashPairs).
+    val okBuckets = banded.groupBy("band", "bh").count()
+      .where(col("count") <= maxBucket).select("band", "bh")
+    val capped = banded.join(okBuckets, Seq("band", "bh"))
 
     // Dedup candidate PAIRS on the ids alone (a pair collides in several
     // bands), then re-attach the signatures once per surviving pair — a
@@ -334,10 +337,14 @@ object Dedup {
     val sizes = grams.select(col("id"), size(col("grams")).as("sz"))
 
     val inv = grams.select(col("id"), explode(col("grams")).as("g"))
-    val capped = inv.withColumn("df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("g"))))
-      .where(col("df") <= maxDocFreq).drop("df")
+    // Document-frequency cap as a groupBy-count semi-join (map-side
+    // combinable; same form as the MinHash bucket cap — a Window count
+    // here sorts the whole inverted index per gram).
+    val okGrams = inv.groupBy("g").count()
+      .where(col("count") <= maxDocFreq).select("g")
+    // re-select in (id, g) order: a using-column join moves the key
+    // first, and the positional toDF renames below depend on the order
+    val capped = inv.join(okGrams, Seq("g")).select("id", "g")
 
     val shared = capped.toDF("id_a", "g")
       .join(capped.toDF("id_b", "g"), "g")

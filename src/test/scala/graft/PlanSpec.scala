@@ -74,6 +74,24 @@ class PlanSpec extends SparkSpec {
       s"all-pairs cross join in:\n$plan")
   }
 
+  test("dedup hub caps are groupBy-count semi-joins, never Window sorts") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa bb cc dd ee"), (2L, "aa bb cc dd ff"),
+      (3L, "zz yy xx ww vv")).toDF("doc_id", "text")
+    // One cap implementation everywhere: a Window count over the banded /
+    // inverted relation re-sorts the full exploded relation per key — at
+    // 100 TB that sort is pure waste next to a map-side-combinable
+    // groupBy.count semi-join (the incrementalMinhashPairs form).
+    for (q <- Seq(graft.text.Dedup.minhashPairs(docs),
+        graft.text.Dedup.ngramJaccardPairs(docs))) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("Window"),
+        s"Window sort in the dedup cap path:\n$plan")
+      assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+        "UDF in the dedup path")
+    }
+  }
+
   test("superstep aggregation is map-side combined (partial + final)") {
     val g = graphbuild.CoPurchase.graph(spark, dir)
     val contrib = g.edges

@@ -394,50 +394,63 @@ object SnapshotTable {
     val dataDir = new Path(root, s"data/$uuid")
     df.write.mode("errorifexists").parquet(dataDir.toString)
 
-    // 2. Lineage of what actually landed on disk (one agg row per file).
-    val onDisk = spark.read.parquet(dataDir.toString)
-    val newFiles = fileLineage(onDisk)
-    val schemaJson = onDisk.schema.json
+    try {
+      // 2. Lineage of what landed on disk (one agg row per file).
+      val onDisk = spark.read.parquet(dataDir.toString)
+      val newFiles = fileLineage(onDisk)
+      val schemaJson = onDisk.schema.json
 
-    // 3. Optimistic-concurrency manifest publication.
-    var attempt = 0
-    while (true) {
-      val curV = currentVersionOpt(spark, table)
-      val parent = curV.map(v => manifest(spark, table, v))
-      // Atomic exactly-once gate ([[appendBatch]]): re-checked against
-      // the freshly-read parent on EVERY publish attempt, so a racing
-      // same-batch committer cannot slip through between a caller-side
-      // ledger read and the commit.
-      streamBatchGate.foreach { b =>
-        if (parent.flatMap(_.summary.get("streamBatch"))
-            .exists(_.toLong >= b))
-          throw new BatchAlreadyCommitted(b)
+      // 3. Optimistic-concurrency manifest publication.
+      var attempt = 0
+      while (true) {
+        val curV = currentVersionOpt(spark, table)
+        val parent = curV.map(v => manifest(spark, table, v))
+        // Atomic exactly-once gate ([[appendBatch]]): re-checked against
+        // the freshly-read parent on EVERY publish attempt, so a racing
+        // same-batch committer cannot slip through between a caller-side
+        // ledger read and the commit.
+        streamBatchGate.foreach { b =>
+          if (parent.flatMap(_.summary.get("streamBatch"))
+              .exists(_.toLong >= b))
+            throw new BatchAlreadyCommitted(b)
+        }
+        val manifestSchema = op match {
+          case "create" =>
+            require(parent.isEmpty, s"table $table already exists " +
+              s"(version ${curV.get}); use append/overwrite")
+            schemaJson
+          case "append" =>
+            val p = parent.getOrElse(throw new IllegalStateException(
+              s"cannot append: no table at $table"))
+            evolveSchema(p.schemaJson, schemaJson, mergeSchema, table)
+          case _ => schemaJson // overwrite creates or replaces
+        }
+        val files = parent match {
+          case Some(p) if op == "append" => p.files ++ newFiles
+          case _ => newFiles
+        }
+        val m = Manifest(curV.getOrElse(0) + 1, curV.getOrElse(-1), op,
+          manifestSchema, files, files.map(_.rows).sum,
+          carryStreamMark(parent, summary),
+          System.currentTimeMillis())
+        if (tryPublish(f, root, m)) return m.version
+        attempt += 1
+        require(attempt < MaxCommitAttempts,
+          s"gave up after $attempt conflicting commits on $table")
       }
-      val manifestSchema = op match {
-        case "create" =>
-          require(parent.isEmpty, s"table $table already exists " +
-            s"(version ${curV.get}); use append/overwrite")
-          schemaJson
-        case "append" =>
-          val p = parent.getOrElse(throw new IllegalStateException(
-            s"cannot append: no table at $table"))
-          evolveSchema(p.schemaJson, schemaJson, mergeSchema, table)
-        case _ => schemaJson // overwrite creates or replaces
-      }
-      val files = parent match {
-        case Some(p) if op == "append" => p.files ++ newFiles
-        case _ => newFiles
-      }
-      val m = Manifest(curV.getOrElse(0) + 1, curV.getOrElse(-1), op,
-        manifestSchema, files, files.map(_.rows).sum,
-        carryStreamMark(parent, summary),
-        System.currentTimeMillis())
-      if (tryPublish(f, root, m)) return m.version
-      attempt += 1
-      require(attempt < MaxCommitAttempts,
-        s"gave up after $attempt conflicting commits on $table")
+      -1 // unreachable
+    } catch {
+      // The uuid dir is referenced by no manifest — on ANY failed commit
+      // (a lost BatchAlreadyCommitted gate, a create/schema conflict,
+      // publish-attempt exhaustion) delete it, matching the
+      // upsert/delete/compact retry paths; without this every replayed
+      // stream batch that loses the gate leaves an orphan directory
+      // until a manual vacuum.
+      case e: Throwable =>
+        try f.delete(dataDir, true)
+        catch { case _: Throwable => () }
+        throw e
     }
-    -1 // unreachable
   }
 
   /** Longest rendered min/max value retained as a file stat. Unlike
@@ -792,7 +805,17 @@ object SnapshotTable {
 
   /** Drop all but the newest `keepLast` snapshots: their manifests are
     * deleted and any data directory referenced ONLY by dropped snapshots
-    * is removed. Returns (#manifests, #dataDirs) removed. */
+    * is removed. Returns (#manifests, #dataDirs) removed.
+    *
+    * Single-maintainer operation, like [[vacuum]]: keptDirs comes from a
+    * point-in-time listing, so a CONCURRENT rollback/compact could
+    * publish a new retained snapshot referencing a directory this call
+    * is about to delete (an expire racing a plain create/append/
+    * overwrite/upsert commit is safe — an in-flight commit's uuid dir is
+    * referenced by no manifest and expire never touches unreferenced
+    * dirs; a racing READER of a dropped version merely fails loudly).
+    * Run expire from the same maintenance process as rollback/compact,
+    * or front them with a lock. */
   def expire(spark: SparkSession, table: String, keepLast: Int)
       : (Int, Int) = {
     require(keepLast >= 1, "must retain at least the current snapshot")
@@ -846,6 +869,45 @@ object SnapshotTable {
 
   // ----------------------------------------------------- stats evaluation
 
+  /** UTF-8 bytes of `s`, refusing unpaired surrogates (getBytes folds
+    * them to '?', which would corrupt the ordering — the throw makes
+    * [[mightMatch]] keep the file). Paired surrogates encode fine. */
+  private def utf8Bytes(s: String): Array[Byte] = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isHighSurrogate(c)) {
+        require(i + 1 < s.length && Character.isLowSurrogate(s.charAt(i + 1)),
+          s"unpaired surrogate in stat/literal value")
+        i += 1
+      } else require(!Character.isLowSurrogate(c),
+        s"unpaired surrogate in stat/literal value")
+      i += 1
+    }
+    s.getBytes(UTF_8)
+  }
+
+  private def byteCmp(x: Array[Byte], y: Array[Byte]): Int = {
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Binary UTF-8 string order — the order Spark's min/max aggregates
+    * compute for StringType (UTF8String compares unsigned UTF-8 bytes,
+    * which equals code-point order). Java's String.compareTo orders by
+    * UTF-16 code UNITS instead, and the two disagree whenever
+    * supplementary-plane chars (emoji) meet values in U+E000..U+FFFF —
+    * compared that way, [[scan]] could prune a file that contains
+    * matches and upsert/delete could skip a file they must rewrite. */
+  private def utf8Cmp(a: String, b: String): Int =
+    byteCmp(utf8Bytes(a), utf8Bytes(b))
+
   /** Orders a stat's rendered value against a filter literal through the
     * column's type. Stats exist only for [[statableCols]] types. Throws
     * on anything it cannot order soundly — [[mightMatch]] folds that to
@@ -876,10 +938,11 @@ object SnapshotTable {
             s"zone-ambiguous timestamp literal: ${other.getClass}")
         }
         sv.compareTo(lv)
-      // StringType compares raw; Date cast(string) renders ISO
-      // "2024-01-02" and java.sql.Date/LocalDate literals render the
-      // same — lexicographic order IS chronological order.
-      case _ => statVal.compareTo(litVal.toString)
+      // StringType compares in binary UTF-8 order (what the write-side
+      // min/max computed); Date cast(string) renders ISO "2024-01-02"
+      // and java.sql.Date/LocalDate literals render the same — ASCII, so
+      // byte order IS chronological order.
+      case _ => utf8Cmp(statVal, litVal.toString)
     }
 
   /** Could any row of the file satisfy `f`? Three-valued logic folded to
@@ -937,9 +1000,16 @@ object SnapshotTable {
         case IsNull(a) => withStat(a)(_.nulls > 0)
         case IsNotNull(a) => withStat(a)(s => !allNull(s))
         case StringStartsWith(a, p) => withStat(a) { s =>
+          // Byte-space prefix check (see utf8Cmp): any row starting with
+          // p satisfies min <= row and row's first |p| bytes == p, so
+          // prune only when max < p or min's first |p| bytes > p.
+          // Truncating min's UTF-8 mid-codepoint is fine — the compare
+          // is over raw bytes, never decoded.
+          val pb = utf8Bytes(p)
           !allNull(s) &&
-            s.max.forall(_.compareTo(p) >= 0) &&
-            s.min.forall(_.take(p.length).compareTo(p) <= 0)
+            s.max.forall(mx => byteCmp(utf8Bytes(mx), pb) >= 0) &&
+            s.min.forall(mn =>
+              byteCmp(utf8Bytes(mn).take(pb.length), pb) <= 0)
         }
         case _ => true // Not(...), StringContains, ... — no sound bound
       }

@@ -826,4 +826,65 @@ class SnapshotTableSpec extends SparkSpec {
       assert(e.getMessage.contains("overwrite"))
     } finally rmrf(t)
   }
+
+  test("string stats order in UTF-8 (code-point) space, not UTF-16 units") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+    val t = tmpTable("snap-utf8")
+    try {
+      // One file whose only text is a supplementary-plane char (U+1F600,
+      // UTF-16 surrogates 0xD83D 0xDE00). In Java's UTF-16 code-unit
+      // order it sorts BELOW the BMP private-use char U+E000; in the
+      // UTF-8/code-point order Spark's min/max computed it sorts ABOVE.
+      // A code-unit comparator would prune the file for `> U+E000` and
+      // return a silently empty (wrong) result.
+      val emoji = new String(Character.toChars(0x1F600))
+      SnapshotTable.create(
+        Seq((1L, emoji)).toDF("id", "text").repartition(1), t)
+      SnapshotTable.append(
+        Seq((2L, "aaa")).toDF("id", "text").repartition(1), t)
+      val hi = SnapshotTable.scan(spark, t,
+        Seq(GreaterThan("text", "")))
+      assert(hi.count() == 1 && hi.head().getLong(0) == 1L,
+        "file with supplementary-plane max wrongly pruned")
+      assert(hi.inputFiles.length == 1, "the 'aaa' file should be pruned")
+      val eq = SnapshotTable.scan(spark, t, Seq(EqualTo("text", emoji)))
+      assert(eq.count() == 1 && eq.inputFiles.length == 1)
+    } finally rmrf(t)
+  }
+
+  test("a lost stream-batch gate leaves no orphan data directory") {
+    val t = tmpTable("snap-gate-orphan")
+    try {
+      val b = Seq((1L, "x")).toDF("id", "text")
+      assert(SnapshotTable.appendBatch(b, t, 0L))
+      assert(!SnapshotTable.appendBatch(b, t, 0L)) // replay loses the gate
+      assert(!SnapshotTable.appendBatch(b, t, 0L))
+      // the losers' uuid dirs were cleaned inside commit(): nothing for
+      // vacuum to collect
+      assert(SnapshotTable.vacuum(spark, t) == 0,
+        "lost-gate replays left orphan data dirs")
+      // a failed create against an existing table cleans up too
+      intercept[IllegalArgumentException] {
+        SnapshotTable.create(b, t)
+      }
+      assert(SnapshotTable.vacuum(spark, t) == 0)
+      assert(SnapshotTable.read(spark, t).count() == 1)
+    } finally rmrf(t)
+  }
+
+  test("expire never touches an in-flight (uncommitted) commit's dir") {
+    val t = tmpTable("snap-expire-inflight")
+    try {
+      SnapshotTable.create(docs(0 until 4), t) // v1
+      SnapshotTable.overwrite(docs(4 until 8), t) // v2
+      // simulate a commit mid-flight: data written, manifest not yet
+      // published (step 1 of commit() before tryPublish)
+      docs(100 until 104).write.parquet(s"$t/data/inflight-uuid")
+      val (m, d) = SnapshotTable.expire(spark, t, keepLast = 1)
+      assert(m == 1 && d == 1, "v1 and exactly its own dir dropped")
+      assert(Files.exists(Paths.get(s"$t/data/inflight-uuid")),
+        "expire deleted an uncommitted writer's directory")
+      assert(SnapshotTable.read(spark, t).count() == 4)
+    } finally rmrf(t)
+  }
 }

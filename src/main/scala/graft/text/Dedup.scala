@@ -214,6 +214,18 @@ object Dedup {
     * the incremental log never loses recall, it can only keep early
     * pairs a fresh recompute's cap would suppress.
     *
+    * Crash safety: the corpus and signature appends are two non-atomic
+    * commits. Every sig commit records the corpus version it is in
+    * lockstep with (`corpusVersion` in the manifest summary); on entry,
+    * corpus rows committed past that marker (a crash landed the corpus
+    * append but not the sig append) are RE-SIGNED and folded into this
+    * step's delta, so the invariant self-heals and the crashed delta's
+    * pairs against the older store are still emitted. Pre-marker sig
+    * stores are assumed in lockstep (the pre-r5 behavior). A crash
+    * after BOTH appends loses only the returned (unconsumed) pairs —
+    * callers that persist the pair log should write it before treating
+    * the step as done, or replay from the recorded versions.
+    *
     * @return the new near-dup pairs (id_a, id_b, est_jaccard) */
   def incrementalDedupStep(
       corpusTable: String,
@@ -228,11 +240,34 @@ object Dedup {
       maxBucket: Int = 64): DataFrame = {
     import graft.sources.SnapshotTable
     val spark = newDocs.sparkSession
-    val deltaSigs = signatures(newDocs, idCol, textCol, k, numHashes)
+    // Reconcile a crash between the two appends (see the doc above):
+    // corpus rows beyond the sig store's recorded corpusVersion have no
+    // signature — re-sign them as part of this step's delta. The
+    // incremental read touches exactly the unsigned commits' files.
+    val corpusV0 = SnapshotTable.currentVersionOpt(spark, corpusTable)
+    val sigV0 = SnapshotTable.currentVersionOpt(spark, sigTable)
+    val signedThrough = sigV0.flatMap(v =>
+      SnapshotTable.manifest(spark, sigTable, v)
+        .summary.get("corpusVersion")).map(_.toInt)
+    val unsigned: Option[DataFrame] = (corpusV0, signedThrough) match {
+      case (Some(cv), Some(sv)) if sv < cv =>
+        Some(SnapshotTable.readIncremental(spark, corpusTable, sv, cv)
+          .select(col(idCol), col(textCol)))
+      case (Some(_), None) if sigV0.isEmpty =>
+        // crash before the very first sig commit: all corpus rows are
+        // unsigned
+        Some(SnapshotTable.read(spark, corpusTable)
+          .select(col(idCol), col(textCol)))
+      case _ => None // in lockstep (or a legacy pre-marker store)
+    }
+    val newSigs = signatures(newDocs, idCol, textCol, k, numHashes)
+    val deltaSigs = unsigned
+      .map(d => signatures(d, idCol, textCol, k, numHashes))
+      .foldLeft(newSigs)(_ unionByName _)
       .localCheckpoint(true)
     // Pin the store BEFORE appending the delta (the manifest file list
     // is resolved here, so the lazy pair plan can't see its own delta).
-    val store = SnapshotTable.currentVersionOpt(spark, sigTable) match {
+    val store = sigV0 match {
       case Some(_) =>
         SnapshotTable.read(spark, sigTable).select(col("id"), col("sig"))
       case None => spark.createDataFrame(
@@ -241,12 +276,12 @@ object Dedup {
     }
     val pairs = incrementalMinhashPairs(store, deltaSigs, numHashes,
       bands, threshold, maxBucket)
-    if (SnapshotTable.currentVersionOpt(spark, corpusTable).isEmpty)
-      SnapshotTable.create(newDocs, corpusTable)
-    else SnapshotTable.append(newDocs, corpusTable)
-    if (SnapshotTable.currentVersionOpt(spark, sigTable).isEmpty)
-      SnapshotTable.create(deltaSigs, sigTable)
-    else SnapshotTable.append(deltaSigs, sigTable)
+    val cv1 =
+      if (corpusV0.isEmpty) SnapshotTable.create(newDocs, corpusTable)
+      else SnapshotTable.append(newDocs, corpusTable)
+    val mark = Map("corpusVersion" -> cv1.toString)
+    if (sigV0.isEmpty) SnapshotTable.create(deltaSigs, sigTable, mark)
+    else SnapshotTable.append(deltaSigs, sigTable, mark)
     pairs
   }
 

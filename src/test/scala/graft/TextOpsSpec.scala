@@ -184,6 +184,56 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup self-heals a crash between corpus and sig " +
+      "commits") {
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def text(i: Long) =
+      (0 until 15).map(j => s"w${(i * 977 + j * 131) % 99991}t$j")
+        .mkString(" ")
+    val b1 = docsDF((0L until 20L).map(i => i -> text(i)))
+    // b2: doc 25 copies doc 3 — its pair must STILL surface even though
+    // b2's own step "crashed" after the corpus append
+    val b2 = docsDF((20L until 30L).map {
+      case 25L => 25L -> text(3)
+      case i => i -> text(i)
+    })
+    // b3: doc 31 copies the crashed batch's doc 22
+    val b3 = docsDF(Seq(30L -> text(30), 31L -> text(22)))
+    val root = java.nio.file.Files.createTempDirectory("incr-crash")
+    val (corpus, sigs) =
+      (root.resolve("corpus").toString, root.resolve("sigs").toString)
+    try {
+      import graft.sources.SnapshotTable
+      assert(pset(incrementalDedupStep(corpus, sigs, b1)).isEmpty)
+      // simulate the crash: the corpus append landed, the sig append
+      // never did
+      SnapshotTable.append(b2, corpus)
+      assert(SnapshotTable.read(spark, sigs).count() == 20)
+      // next step re-signs the orphaned batch and emits BOTH the
+      // crashed batch's pairs and its own
+      val p3 = pset(incrementalDedupStep(corpus, sigs, b3))
+      assert(p3 == Set((3L, 25L), (22L, 31L)),
+        s"reconcile must surface the crashed delta's pairs too: $p3")
+      // lockstep restored: every corpus doc has a signature, and the
+      // marker points at the current corpus version
+      assert(SnapshotTable.read(spark, sigs).count() ==
+        SnapshotTable.read(spark, corpus).count())
+      val sigV = SnapshotTable.currentVersionOpt(spark, sigs).get
+      val marker = SnapshotTable.manifest(spark, sigs, sigV)
+        .summary("corpusVersion").toInt
+      assert(marker ==
+        SnapshotTable.currentVersionOpt(spark, corpus).get)
+      // union over (completed) steps == full recompute on the corpus
+      val full = pset(minhashPairs(SnapshotTable.read(spark, corpus)))
+      assert(p3 == full)
+    } finally {
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
   test("fingerprint is stable and edit-robust at the tail") {
     import spark.implicits._
     val fp = Seq(near1, near1 + " extra", other).toDF("text")

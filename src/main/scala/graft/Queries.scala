@@ -1088,4 +1088,53 @@ object Queries {
     spark.range(1)
       .select((if (ok) lit(1L) else lit(0L)).as("ok"))
   }
+
+  /** Driver-visible contract for the snapshot table's per-file BLOOM
+    * stats — the point-lookup pruning lever past min/max (Iceberg's next
+    * lever after bounds): two appends with fully INTERLEAVED doc_id
+    * ranges (even/odd split), so range stats alone keep BOTH files on
+    * every mid-range point probe, while the bloom must plan strictly
+    * fewer files on EqualTo probes with every result exact. Probes are
+    * mid-range so the range baseline provably cannot prune; one
+    * fp-collision of the 8 probes is tolerated (deterministic data, but
+    * the margin keeps the contract stable across scale factors). The
+    * check table is capped at 800 docs so the blooms never saturate at
+    * larger sf. Emits ok=1 (constant-row oracle). */
+  def sSnapshotBloomCheck(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual,
+      LessThanOrEqual}
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(800).localCheckpoint(true)
+    val root = java.nio.file.Files.createTempDirectory("graft-bloom-check")
+    val table = root.resolve("t").toString
+    val ok = try {
+      SnapshotTable.create(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0).repartition(1),
+        table)
+      SnapshotTable.append(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1).repartition(1),
+        table)
+      val evens = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+        .orderBy(col("doc_id")).collect().map(_.getLong(0))
+      val mid = evens.length / 2
+      val probes = evens.slice(mid - 4, mid + 4).toSeq
+      val per = probes.map { p =>
+        val range = SnapshotTable.scan(spark, table,
+          Seq(GreaterThanOrEqual("doc_id", p), LessThanOrEqual("doc_id", p)))
+        val eq = SnapshotTable.scan(spark, table, Seq(EqualTo("doc_id", p)))
+        (range.inputFiles.length == 2,
+          eq.inputFiles.length == 1,
+          eq.count() == 1 && eq.head().getLong(0) == p)
+      }
+      per.nonEmpty && per.forall(_._1) && per.forall(_._3) &&
+        per.count(_._2) >= per.size - 1
+    } finally {
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    spark.range(1)
+      .select((if (ok) lit(1L) else lit(0L)).as("ok"))
+  }
 }

@@ -108,6 +108,7 @@ object SparkEntry {
     // Durable sinks (§2.7): snapshot-versioned table (seal-class ops)
     "s_snapshot_sink_check" -> (Queries.sSnapshotSinkCheck(_, _)),
     "s_snapshot_prune_check" -> (Queries.sSnapshotPruneCheck(_, _)),
+    "s_snapshot_bloom_check" -> (Queries.sSnapshotBloomCheck(_, _)),
     "s_stream_ingest_check" -> (Queries.sStreamIngestCheck(_, _)),
   )
 
@@ -155,6 +156,7 @@ object SparkEntry {
     "m_video_decode_check" -> OracleSql.mVideoDecodeCheck,
     "s_snapshot_sink_check" -> OracleSql.sSnapshotSinkCheck,
     "s_snapshot_prune_check" -> OracleSql.sSnapshotPruneCheck,
+    "s_snapshot_bloom_check" -> OracleSql.sSnapshotBloomCheck,
     "s_stream_ingest_check" -> OracleSql.sStreamIngestCheck,
     "g_pregel_pagerank" -> OracleSql.pregelPagerank(),
     // aggregator-based full PageRank == the reference recurrence

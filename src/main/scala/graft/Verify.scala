@@ -46,7 +46,7 @@ object Verify {
     "d_ngram_jaccard", "d_ngram_check", "d_minhash_pairs",
     "d_minhash_check", "d_dedup_cluster_check", "d_incr_dedup_check",
     "s_snapshot_sink_check", "s_snapshot_prune_check",
-    "s_stream_ingest_check",
+    "s_snapshot_bloom_check", "s_stream_ingest_check",
     // graph: first entry builds the shared co-purchase graph
     "g_degree", "g_degree_centrality", "i_simple_path", "g_bfs",
     "g_bfs_parents", "g_wcc", "g_wcc_incr_check", "g_pagerank",

@@ -950,6 +950,10 @@ object OracleSql {
     * incremental-read contract (file-planning behavior is not SQL). */
   val sSnapshotPruneCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
 
+  /** Constant oracle for the self-checking per-file bloom-stat pruning
+    * contract (file-planning behavior is not SQL). */
+  val sSnapshotBloomCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"
+
   /** Constant oracle for the self-checking exactly-once streaming-sink
     * ledger contract (commit/replay/high-water behavior is not SQL). */
   val sStreamIngestCheck: String = "SELECT CAST(1 AS BIGINT) AS ok\n"

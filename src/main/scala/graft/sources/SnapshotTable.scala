@@ -48,9 +48,36 @@ object SnapshotTable {
     * pruning power, never correctness). Compared back through the
     * column's type in [[scan]], so numeric renderings like `1.0E-4`
     * order correctly. Iceberg analogue: per-data-file lower/upper bounds
-    * + null counts in the manifest. */
+    * + null counts in the manifest.
+    *
+    * `bloom` (integral/string columns only) is a base64 [[BloomBits]]-bit
+    * Bloom filter of the file's values — Iceberg's next pruning lever
+    * after bounds: on a HIGH-cardinality unclustered key, every file
+    * spans the whole range and min/max keeps them all, while a point
+    * predicate probes the bloom and plans only the files that might
+    * contain the key. Absent on pre-r5 manifests (None = keep). */
   final case class ColStat(
-      name: String, min: Option[String], max: Option[String], nulls: Long)
+      name: String, min: Option[String], max: Option[String], nulls: Long,
+      bloom: Option[String] = None)
+
+  /** Bloom geometry: 8192 bits / 4 probes. A file with ~2k distinct
+    * values sits near 0.6 fill (useful fp rate); far past that the
+    * filter saturates toward all-ones, which only costs pruning power —
+    * never correctness. Values are hashed through the SAME
+    * `xxhash64(render(v), seed)` expression on the write side
+    * (distributed) and a driver-side catalyst eval on the read side, so
+    * the two can never drift. */
+  private val BloomBits = 8192
+  private val BloomK = 4
+
+  /** Types whose canonical rendering the read side reproduces EXACTLY
+    * from a filter literal (integral toString / the string itself) —
+    * bloom pruning is only sound when both sides hash identical bytes,
+    * so float/decimal/timestamp renderings (engine-formatted) are out. */
+  private def bloomable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType => true
+    case _ => false
+  }
 
   /** One immutable data file: table-root-relative path + its lineage.
     * `stats` is None on manifests written before column stats landed —
@@ -489,9 +516,28 @@ object SnapshotTable {
         max(c).cast("string").as(s"_mx$i"),
         sum(when(base.isNull, 1L).otherwise(0L)).as(s"_nn$i"))
     }
+    // Bloom bit positions per bloomable column: BloomK collect_set aggs
+    // of pmod(xxhash64(render(value), seed), BloomBits) — each set is
+    // bounded by BloomBits ints regardless of row count (collect_set
+    // dedups during partial aggregation), so driver memory stays
+    // O(files * BloomBits).
+    val bloomCols = statCols.filter(f => bloomable(f.dataType))
+    val bloomExprs = bloomCols.zipWithIndex.flatMap { case (f, i) =>
+      val rendered = f.dataType match {
+        case StringType => col(f.name)
+        case _ => col(f.name).cast("string")
+      }
+      (0 until BloomK).map { seed =>
+        collect_set(when(col(f.name).isNotNull,
+          pmod(xxhash64(rendered, lit(seed)), lit(BloomBits))
+            .cast("int"))).as(s"_bl${i}_$seed")
+      }
+    }
     val aggExprs =
       sum(xxhash64(cols: _*).cast("decimal(38,0)")).as("checksum") +:
-        statExprs
+        (statExprs ++ bloomExprs)
+    val bloomBase = 3 + statCols.size * 3
+    val bloomIdx = bloomCols.map(_.name).zipWithIndex.toMap
     onDisk
       .groupBy(input_file_name().as("f"))
       .agg(count(lit(1)).as("rows"), aggExprs: _*)
@@ -505,8 +551,16 @@ object SnapshotTable {
           val (mn, mx) = (v(base), v(base + 1))
           val keep = mn.forall(_.length <= MaxStatLen) &&
             mx.forall(_.length <= MaxStatLen)
+          val bloom = bloomIdx.get(f.name).map { bi =>
+            val bits = new java.util.BitSet(BloomBits)
+            (0 until BloomK).foreach { seed =>
+              r.getSeq[Int](bloomBase + bi * BloomK + seed)
+                .foreach(bits.set)
+            }
+            java.util.Base64.getEncoder.encodeToString(bits.toByteArray)
+          }
           ColStat(f.name, if (keep) mn else None, if (keep) mx else None,
-            r.getLong(base + 2))
+            r.getLong(base + 2), bloom)
         }
         FileLineage(relativize(r.getString(0)), r.getLong(1),
           r.getDecimal(2).toBigInteger.toString, Some(stats),
@@ -908,6 +962,35 @@ object SnapshotTable {
   private def utf8Cmp(a: String, b: String): Int =
     byteCmp(utf8Bytes(a), utf8Bytes(b))
 
+  /** The literal's [[BloomK]] bit positions — the driver-side eval of
+    * the EXACT expression the write side aggregated distributed
+    * (`pmod(xxhash64(rendered, seed), BloomBits)`), so write and read
+    * hashes can never drift. */
+  private def bloomPositions(rendered: String): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    (0 until BloomK).map { seed =>
+      val h = new XxHash64(Seq(
+        Literal(org.apache.spark.unsafe.types.UTF8String
+          .fromString(rendered), StringType),
+        Literal(seed))).eval(null).asInstanceOf[Long]
+      val m = (h % BloomBits).toInt
+      if (m < 0) m + BloomBits else m
+    }
+  }
+
+  /** Could the file contain a row equal to `v` according to its bloom?
+    * True (keep) when no bloom exists, the type is not bloomable, or
+    * every probe bit is set. The rendering mirrors the write side:
+    * integral toString == cast(string); strings hash their own bytes. */
+  private def bloomMaybe(s: ColStat, dt: DataType, v: Any): Boolean =
+    s.bloom match {
+      case Some(b64) if bloomable(dt) && v != null =>
+        val bits = java.util.BitSet.valueOf(
+          java.util.Base64.getDecoder.decode(b64))
+        bloomPositions(v.toString).forall(bits.get)
+      case _ => true
+    }
+
   /** Orders a stat's rendered value against a filter literal through the
     * column's type. Stats exist only for [[statableCols]] types. Throws
     * on anything it cannot order soundly — [[mightMatch]] folds that to
@@ -979,7 +1062,8 @@ object SnapshotTable {
         case EqualTo(a, v) => withStat(a) { s =>
           !allNull(s) &&
             cmpB(a, s.min, v).forall(_ <= 0) &&
-            cmpB(a, s.max, v).forall(_ >= 0)
+            cmpB(a, s.max, v).forall(_ >= 0) &&
+            bloomMaybe(s, types(a), v)
         }
         case EqualNullSafe(a, null) => withStat(a)(_.nulls > 0)
         case EqualNullSafe(a, v) => mightMatch(EqualTo(a, v), fl, types)
@@ -987,7 +1071,8 @@ object SnapshotTable {
           (vs.contains(null) && s.nulls > 0) ||
             (!allNull(s) && vs.filter(_ != null).exists(v =>
               cmpB(a, s.min, v).forall(_ <= 0) &&
-                cmpB(a, s.max, v).forall(_ >= 0)))
+                cmpB(a, s.max, v).forall(_ >= 0) &&
+                bloomMaybe(s, types(a), v)))
         }
         case GreaterThan(a, v) =>
           withStat(a)(s => cmpB(a, s.max, v).forall(_ > 0))

@@ -57,7 +57,7 @@ class OracleConsistencySpec extends SparkSpec {
     "d_minhash_check", "d_simhash_check", "d_ngram_check",
     "d_fingerprint_check", "g_dfs_check",
     "m_image_decode_check", "m_audio_decode_check",
-    "m_video_decode_check")
+    "m_video_decode_check", "s_snapshot_bloom_check")
   // e_ann_topk's oracle uses DuckDB-only list functions (NOT
   // Spark-parsable) — validated by AnnSpec's in-JVM oracle plus the
   // driver's own DuckDB replay; deliberately absent from layer 1.

@@ -363,9 +363,11 @@ class SnapshotTableSpec extends SparkSpec {
       assert(notNull.inputFiles.length == 1 && notNull.count() == 2)
 
       // Equality on an all-null file's column can't match it; the
-      // in-bounds-but-absent value keeps (only) the non-null file.
+      // in-bounds-but-absent value is dropped by the other file's BLOOM
+      // too (range stats alone would have kept it), so nothing is
+      // planned and the result is still exact.
       val eq = SnapshotTable.scan(spark, t, Seq(EqualTo("text", "aa")))
-      assert(eq.inputFiles.length == 1 && eq.count() == 0)
+      assert(eq.inputFiles.length <= 1 && eq.count() == 0)
 
       // Unknown column and un-boundable shapes are kept (and still exact).
       val contains = SnapshotTable.scan(spark, t,
@@ -824,6 +826,44 @@ class SnapshotTableSpec extends SparkSpec {
         SnapshotTable.readIncremental(spark, t, 1)
       }
       assert(e.getMessage.contains("overwrite"))
+    } finally rmrf(t)
+  }
+
+  test("bloom stats prune point lookups where range stats cannot") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, In,
+      LessThanOrEqual}
+    val t = tmpTable("snap-bloom")
+    try {
+      // Interleaved keys: BOTH files span the full key range, so min/max
+      // alone can never prune a point probe — the high-cardinality
+      // unclustered shape blooms exist for.
+      val even = (0 until 200 by 2).map(i => (i.toLong * 10, s"d-${i * 10}"))
+        .toDF("id", "text")
+      val odd = (1 until 200 by 2).map(i => (i.toLong * 10, s"d-${i * 10}"))
+        .toDF("id", "text")
+      SnapshotTable.create(even.repartition(1), t)
+      SnapshotTable.append(odd.repartition(1), t)
+
+      // range-only predicates keep both files
+      val range = SnapshotTable.scan(spark, t,
+        Seq(GreaterThanOrEqual("id", 420L), LessThanOrEqual("id", 420L)))
+      assert(range.inputFiles.length == 2,
+        "interleaved files are range-indistinguishable")
+      // the bloom prunes the odd file for an even key — and the result
+      // is still exact
+      val eq = SnapshotTable.scan(spark, t, Seq(EqualTo("id", 420L)))
+      assert(eq.inputFiles.length == 1, "bloom did not prune")
+      assert(eq.count() == 1 && eq.head().getLong(0) == 420L)
+      // string-typed point lookups probe their own bloom
+      val eqs = SnapshotTable.scan(spark, t, Seq(EqualTo("text", "d-430")))
+      assert(eqs.inputFiles.length == 1 && eqs.count() == 1)
+      // an in-range key present in NEITHER file: blooms prune everything
+      val none = SnapshotTable.scan(spark, t, Seq(EqualTo("id", 3L)))
+      assert(none.inputFiles.isEmpty && none.count() == 0)
+      // In() probes every candidate: one present value keeps one file
+      val in = SnapshotTable.scan(spark, t,
+        Seq(In("id", Array(420L, 3L))))
+      assert(in.inputFiles.length == 1 && in.count() == 1)
     } finally rmrf(t)
   }
 

@@ -806,11 +806,34 @@ object Queries {
         col("frame_idx").cast("long").as("frame_idx"),
         col("t_ms").cast("long").as("t_ms"))
 
-  def mMediaFeatures(spark: SparkSession, dir: String): DataFrame =
-    graft.multimodal.Multimodal.extractFeatures(
-      graft.multimodal.Multimodal.mediaFromDocuments(spark, dir))
-      .toDF().select("media_id", "kind", "n_bytes", "payload_hash",
-        "frames_sampled")
+  /** Full per-row media contract, DuckDB-replayable (left the exemption
+    * list in r5): REAL payloads for all three modalities (PNG render,
+    * WAV sine synth, AVI/Motion-JPEG mux) are decoded back and the
+    * decoded features emitted as typed columns NEXT to the synthesis
+    * metadata. Every emitted value is a deterministic function of the
+    * metadata — decoded image dims == typed width/height; decoded audio
+    * sample count == duration_ms x 8 kHz and rate == 8000; decoded
+    * video frame count == the muxed max(1, duration_ms*4/1000) and
+    * decoded width == typed width — so the driver verifies the decode
+    * relations row-by-row (the three *_decode_check entries remain as
+    * pinpoint diagnostics). A payload that fell back to StubDecoder
+    * would hash-mismatch, failing the row. */
+  def mMediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val mm = graft.multimodal.Multimodal
+    val media = mm.withRealVideoPayloads(mm.withRealAudioPayloads(
+      mm.withRealImagePayloads(mm.mediaFromDocuments(spark, dir))))
+    val feats = mm.extractFeatures(media).toDF()
+    val meta = mm.mediaFromDocuments(spark, dir).toDF()
+      .select("media_id", "width", "height", "duration_ms")
+    feats.join(meta, "media_id")
+      .select(col("media_id").cast("long").as("media_id"), col("kind"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("duration_ms").cast("long").as("duration_ms"),
+        col("frames_sampled").cast("long").as("frames_sampled"),
+        element_at(col("feature"), 1).cast("long").as("decoded_a"),
+        element_at(col("feature"), 2).cast("long").as("decoded_b"))
+  }
 
   /** Self-checking REAL image decode (javax.imageio): deterministic PNG
     * payloads are rendered per image row, decoded back, and every decoded

@@ -194,5 +194,6 @@ object SparkEntry {
     "d_quality" -> OracleSql.dQuality,
     "d_langid" -> OracleSql.dLangId,
     "m_frame_sample" -> OracleSql.mFrameSample,
+    "m_media_features" -> OracleSql.mMediaFeatures,
   )
 }

@@ -861,6 +861,41 @@ object OracleSql {
       |  ON n.i < GREATEST(1, CAST(FLOOR(v.duration_ms / 1000.0) AS BIGINT))
       |""".stripMargin
 
+  /** Full-row replay of the media-feature extraction (see
+    * Queries.mMediaFeatures): the synthesized payloads are deterministic
+    * functions of doc_id (kind by doc_id%3, width/height/duration by
+    * modular formulas — mediaFromDocuments), and the REAL decoders
+    * provably recover the synthesis parameters (the *_decode_check
+    * diagnostics), so the decoded columns are SQL-expressible:
+    * image dims == typed dims, audio samples == duration*8 @ 8 kHz,
+    * video frames == the muxer's integer-truncated max(1, dur*4/1000)
+    * (FLOOR before CAST — DuckDB's CAST rounds, Spark truncates). */
+  val mMediaFeatures: String =
+    """WITH m AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio'
+      |         ELSE 'video' END AS kind,
+      |    CAST(doc_id % 64 + 16 AS BIGINT) AS width,
+      |    CAST(doc_id % 48 + 16 AS BIGINT) AS height,
+      |    CAST((doc_id % 10) * 1000 + 1500 AS BIGINT) AS duration_ms
+      |  FROM documents)
+      |SELECT media_id, kind, width, height, duration_ms,
+      |  CASE WHEN kind = 'video'
+      |    THEN GREATEST(CAST(1 AS BIGINT),
+      |                  CAST(FLOOR(duration_ms * 4 / 1000.0) AS BIGINT))
+      |    ELSE CAST(1 AS BIGINT) END AS frames_sampled,
+      |  CASE WHEN kind = 'image' THEN width
+      |       WHEN kind = 'audio' THEN duration_ms * 8
+      |       ELSE GREATEST(CAST(1 AS BIGINT),
+      |                     CAST(FLOOR(duration_ms * 4 / 1000.0) AS BIGINT))
+      |  END AS decoded_a,
+      |  CASE WHEN kind = 'image' THEN height
+      |       WHEN kind = 'audio' THEN CAST(8000 AS BIGINT)
+      |       ELSE width END AS decoded_b
+      |FROM m
+      |""".stripMargin
+
   // ---- Training-data / documents oracles ----
 
   val dExactDedup: String =

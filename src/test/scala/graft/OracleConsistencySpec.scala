@@ -49,7 +49,7 @@ class OracleConsistencySpec extends SparkSpec {
     "i_sample", "i_estimate_count", "i_predicates", "i_simple_path",
     "i_case_when",
     "d_exact_dedup", "d_token_count", "d_quality", "d_langid",
-    "e_cos_neardup", "m_frame_sample",
+    "e_cos_neardup", "m_frame_sample", "m_media_features",
     // self-check queries vs their constant oracles (the Spark side must
     // actually produce ok=1 on the test data), and the pregel TC variant
     // vs the shared wedge-join triangle oracle
@@ -265,8 +265,7 @@ class OracleConsistencySpec extends SparkSpec {
       "g_dfs",
       // hash-function-dependent or array-typed outputs DuckDB can't
       // reproduce portably; covered by in-JVM oracles in ScalaTest
-      "d_minhash_pairs", "d_simhash", "d_ngram_jaccard", "d_fingerprint",
-      "m_media_features")
+      "d_minhash_pairs", "d_simhash", "d_ngram_jaccard", "d_fingerprint")
     assert(noOracle.subsetOf(exempt),
       s"queries without oracle or exemption: ${noOracle -- exempt}")
   }

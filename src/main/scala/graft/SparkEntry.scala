@@ -53,6 +53,7 @@ object SparkEntry {
     "g_dfs" -> (Queries.dfs(_, _)),
     "g_dfs_check" -> (Queries.dfsCheck(_, _)),
     "g_louvain_check" -> (Queries.louvainCheck(_, _)),
+    "g_louvain_q" -> (Queries.louvainQ(_, _)),
     // Interactive operator surface (§2.4)
     "i_filter" -> (Queries.iFilter(_, _)),
     "i_out_join" -> (Queries.iOutJoin(_, _)),
@@ -148,6 +149,7 @@ object SparkEntry {
     "g_lpa_u2i" -> OracleSql.lpaU2I(),
     "g_sampling_path" -> OracleSql.samplingPath,
     "g_louvain_check" -> OracleSql.louvainCheck,
+    "g_louvain_q" -> OracleSql.louvainQ(2),
     "g_dfs_check" -> OracleSql.gDfsCheck,
     "d_fingerprint_check" -> OracleSql.dFingerprintCheck,
     "d_dedup_cluster_check" -> OracleSql.dDedupClusterCheck,

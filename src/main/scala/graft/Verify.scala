@@ -56,7 +56,7 @@ object Verify {
     "g_sssp_path", "g_dfs", "g_dfs_check",
     "g_triangles", "g_tri_incr_check",
     "g_clustering", "g_transitivity", "g_avg_clustering",
-    "g_cdlp", "g_kcore", "g_kshell",
+    "g_cdlp", "g_louvain_q", "g_kcore", "g_kshell",
     "g_hits", "g_eigenvector", "g_katz",
     // heavy tail: multi-round fixpoints / multi-source supersteps
     "g_louvain", "g_louvain_check", "g_sssp_avg_length")

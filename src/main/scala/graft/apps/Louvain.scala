@@ -235,4 +235,32 @@ object Louvain {
       .agg(sum(col("tot") * col("tot"))).head().getDouble(0)
     intra / m2 - totSq / (m2 * m2)
   }
+
+  /** Modularity of an assignment as an EXACT integer rational: with unit
+    * edge weights every term of Q is a ratio of integers, so
+    *   Q = (i2*m2 - s) / m2^2
+    * where i2 = symmetric intra-community edge rows (= 2*Σin), m2 = total
+    * symmetric edge rows (= 2m = Σ degrees), s = Σ_c (Σtot(c))^2 — all
+    * BIGINTs. An independent engine (DuckDB, in the driver's oracle) can
+    * recompute the identical two integers from the same edge list and
+    * assignment with a hash-exact compare — no float aggregation-order
+    * noise. Overflow bound: m2^2 and i2*m2 stay in-range to m2 ~ 3e9
+    * symmetric edges (long max 9.2e18); past that compute the ratio in
+    * DECIMAL(38,0). Returns (q_num, q_den), (0, 1) on an empty graph. */
+  def modularityExact(g: SimpleGraph, assign: DataFrame): (Long, Long) = {
+    val edges = g.undirectedDedup.select(col("src"), col("dst"))
+    val deg = edges.groupBy(col("src").as("vid"))
+      .agg(count(lit(1)).as("k"))
+    val m2 = deg.agg(sum(col("k"))).head().getLong(0)
+    if (m2 == 0L) return (0L, 1L)
+    val a = assign.select(col("vid"), col("community").as("c"))
+    val i2 = edges
+      .join(a.select(col("vid").as("src"), col("c").as("cs")), "src")
+      .join(a.select(col("vid").as("dst"), col("c").as("cd")), "dst")
+      .where(col("cs") === col("cd"))
+      .count()
+    val s = deg.join(a, "vid").groupBy("c").agg(sum(col("k")).as("tot"))
+      .agg(sum(col("tot") * col("tot"))).head().getLong(0)
+    (i2 * m2 - s, m2 * m2)
+  }
 }

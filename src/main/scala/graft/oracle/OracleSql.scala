@@ -136,7 +136,9 @@ object OracleSql {
 
   /** CDLP: mode of neighbor labels, min tiebreak, exactly `rounds` rounds
     * (LDBC semantics, see graft.apps.CDLP). */
-  def cdlp(rounds: Int = 10): String = {
+  /** The unrolled CDLP chain c0..c{rounds} over the co-purchase graph
+    * (shared by cdlp and louvainQ). */
+  private def cdlpChain(rounds: Int): StringBuilder = {
     val sb = new StringBuilder
     sb ++= s"WITH $graphCtes,\n"
     sb ++= "c0 AS (SELECT vid, vid AS label FROM verts)\n"
@@ -155,10 +157,36 @@ object OracleSql {
         |        FROM c$p t LEFT JOIN p$i p ON t.vid = p.vid)
         |""".stripMargin
     }
-    sb ++= s"\nSELECT CAST(vid AS BIGINT) AS vid, CAST(label AS BIGINT)" +
-      s" AS label FROM c$rounds\n"
-    sb.toString
+    sb
   }
+
+  def cdlp(rounds: Int = 10): String =
+    (cdlpChain(rounds) ++=
+      s"\nSELECT CAST(vid AS BIGINT) AS vid, CAST(label AS BIGINT)" +
+      s" AS label FROM c$rounds\n").toString
+
+  /** g_louvain_q: exact integer-rational modularity of the CDLP-{rounds}
+    * assignment (see graft.apps.Louvain.modularityExact and
+    * Queries.louvainQ): q_num = i2*m2 - s, q_den = m2^2, with i2 =
+    * symmetric intra-community edge rows, m2 = symmetric edge rows,
+    * s = Σ_c (Σ_deg(c))^2 — pure BIGINTs, hash-exact across engines. */
+  def louvainQ(rounds: Int = 10): String =
+    (cdlpChain(rounds) ++=
+      s""",
+        |asg AS (SELECT vid, label AS c FROM c$rounds),
+        |m2t AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM edges),
+        |i2t AS (SELECT CAST(COUNT(*) AS BIGINT) AS i2
+        |        FROM edges e JOIN asg a ON e.src = a.vid
+        |                     JOIN asg b ON e.dst = b.vid
+        |        WHERE a.c = b.c),
+        |st AS (SELECT CAST(SUM(tot * tot) AS BIGINT) AS s FROM (
+        |         SELECT a.c AS cc, SUM(d.deg) AS tot
+        |         FROM degt d JOIN asg a ON d.vid = a.vid
+        |         GROUP BY a.c) x)
+        |SELECT CAST(i2t.i2 * m2t.m2 - st.s AS BIGINT) AS q_num,
+        |       CAST(m2t.m2 * m2t.m2 AS BIGINT) AS q_den
+        |FROM m2t, i2t, st
+        |""".stripMargin).toString
 
   /** Oriented wedge-join triangle counting (see graft.apps.Triangles). */
   private val triangleCtes: String =

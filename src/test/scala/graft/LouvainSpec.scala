@@ -55,6 +55,27 @@ class LouvainSpec extends SparkSpec {
     assert(q > 0.55, s"modularity $q too low")
   }
 
+  test("modularityExact: hand-computed planted rational, and exact == " +
+      "float modularity on the Louvain assignment") {
+    import spark.implicits._
+    val cs = Seq(0L until 8L, 10L until 18L, 20L until 28L)
+    val pairs = cs.flatMap(clique) ++
+      Seq((7L, 10L), (17L, 20L), (27L, 0L))
+    val g = graphOf(pairs)
+    // planted assignment: m=87, i2=2*84=168, m2=174, tot_c=58 each
+    // -> q_num = 168*174 - 3*58^2 = 19140, q_den = 174^2 = 30276
+    val planted = cs.flatMap(c => c.map(v => (v, c.head)))
+      .toDF("vid", "community")
+    assert(Louvain.modularityExact(g, planted) == (19140L, 30276L))
+    // and on the actual Louvain assignment the exact rational must agree
+    // with the float modularity (independent arithmetic paths)
+    val assign = Louvain.run(g).select(col("vid"), col("community"))
+    val q = Louvain.modularity(g, assign)
+    val (n, d) = Louvain.modularityExact(g, assign)
+    assert(math.abs(q - n.toDouble / d) <= 1e-12,
+      s"float $q vs exact $n/$d")
+  }
+
   test("deterministic across reruns and input partitionings") {
     val pairs = clique(1L to 6L) ++ clique(21L to 26L) ++
       clique(41L to 46L) ++ Seq((6L, 21L), (26L, 41L), (46L, 1L))

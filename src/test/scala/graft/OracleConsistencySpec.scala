@@ -105,6 +105,17 @@ class OracleConsistencySpec extends SparkSpec {
       () => CDLP.run(g, maxRound = 2)
         .select(vl("vid").as("vid"), vl("label").as("label")),
       OracleSql.cdlp(2)),
+    // exact-rational modularity of the CDLP assignment: validates BOTH
+    // the CDLP chain reuse and the integer modularity CTEs against the
+    // JVM Louvain.modularityExact on the same bounded assignment
+    ("g_louvain_q", 2,
+      () => {
+        val assign = CDLP.run(g, maxRound = 2)
+          .select(col("vid"), col("label").as("community"))
+        val (n, d) = Louvain.modularityExact(g, assign)
+        spark.range(1).select(lit(n).as("q_num"), lit(d).as("q_den"))
+      },
+      OracleSql.louvainQ(2)),
     ("g_bfs", 3,
       () => BFS.run(g, minVid, depthLimit = 3)
         .select(vl("vid").as("vid"), vl("depth").as("depth")),

@@ -468,6 +468,47 @@ object Queries {
       .agg(count(lit(1)).as("cnt"),
         round(sum(col("o_totalprice")), 4).as("total"))
 
+  /** i_gremlin: the Gremlin TEXT front-end end-to-end (reference:
+    * frontend compiler Gremlin->TreeNode->dataflow,
+    * interactive_engine/src/frontend/compiler/.../tree/) — parses a
+    * traversal string and compiles it to the same DataFrame plan the
+    * hand-written combinators produce: label filter, within-predicate,
+    * labeled hop, property filter, deterministic order + top-k slice
+    * (TakeOrderedAndProject). The oracle replays the traversal as plain
+    * SQL, proving the compiled plan's semantics, not just its shape. */
+  def iGremlin(spark: SparkSession, dir: String): DataFrame = {
+    val customers = t(spark, dir, "customer").select(
+      col("c_custkey").cast("long").as("vid"),
+      col("c_mktsegment"))
+    val orders = t(spark, dir, "orders").select(
+      col("o_orderkey").cast("long").as("vid"),
+      col("o_totalprice"))
+    val placed = t(spark, dir, "orders").select(
+      col("o_custkey").cast("long").as("src"),
+      col("o_orderkey").cast("long").as("dst"))
+    val pg = graft.graph.PropertyGraph(
+      Map("customer" -> customers, "orders" -> orders),
+      Map(("customer", "placed", "orders") -> placed))
+    graft.gremlin.Gremlin.run(pg,
+      "g.V().hasLabel('customer')" +
+        ".has('c_mktsegment', within('BUILDING', 'AUTOMOBILE'))" +
+        ".out('placed').has('o_totalprice', gt(50000.0))" +
+        ".order().by('o_totalprice', desc).by('vid', asc).limit(25)")
+  }
+
+  /** i_gremlin_repeat: repeat(out).times(2) through the front-end over
+    * the co-purchase graph — the REPEAT/until surface (§2.4) driven from
+    * traversal text; count() keeps the 2-hop bag distributed (one join +
+    * one count, never materialized). */
+  def iGremlinRepeat(spark: SparkSession, dir: String): DataFrame = {
+    val g = CoPurchase.graph(spark, dir)
+    val pg = graft.graph.PropertyGraph(
+      Map("part" -> g.vertices.select(col("vid"))),
+      Map(("part", "copurchase", "part") -> g.edges.select("src", "dst")))
+    graft.gremlin.Gremlin.run(pg,
+      "g.V().repeat(out('copurchase')).times(2).count()")
+  }
+
   /** PATH history + SIMPLE_PATH (unarystep/filter.rs:362, PATH_OUT op 29):
     * 2-hop traversal from the min vertex carrying the path as a
     * collect-style struct column, simple-path filtered (no revisits),

@@ -72,6 +72,8 @@ object SparkEntry {
     "i_predicates" -> (Queries.iPredicates(_, _)),
     "i_case_when" -> (Queries.iCaseWhen(_, _)),
     "i_simple_path" -> (Queries.iSimplePath(_, _)),
+    "i_gremlin" -> (Queries.iGremlin(_, _)),
+    "i_gremlin_repeat" -> (Queries.iGremlinRepeat(_, _)),
     // Pregel UDF surface (§2.6): fixed-round, convergence-gated, and
     // array-message programs on the same generic runner
     "g_pregel_pagerank" -> (Queries.pregelPagerank(_, _)),
@@ -183,6 +185,8 @@ object SparkEntry {
     "i_predicates" -> OracleSql.iPredicates,
     "i_case_when" -> OracleSql.iCaseWhen,
     "i_simple_path" -> OracleSql.iSimplePath,
+    "i_gremlin" -> OracleSql.iGremlin,
+    "i_gremlin_repeat" -> OracleSql.iGremlinRepeat,
     "e_cos_neardup" -> OracleSql.eCosNearDup,
     "e_ann_topk" -> OracleSql.eAnnTopk,
     "e_ann_lsh" -> OracleSql.eAnnLshOk,

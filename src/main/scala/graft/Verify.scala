@@ -36,7 +36,7 @@ object Verify {
     "i_filter", "i_out_join", "i_group_count", "i_order_limit",
     "i_range_local", "i_dedup", "i_union", "i_semi_join", "i_anti_join",
     "i_aggs", "i_math", "i_fold_unfold", "i_sample", "i_estimate_count",
-    "i_predicates", "i_case_when",
+    "i_predicates", "i_case_when", "i_gremlin",
     "d_exact_dedup", "d_token_count", "d_quality", "d_langid",
     "d_fingerprint", "d_fingerprint_check", "d_simhash", "d_simhash_check",
     "m_frame_sample", "m_media_features", "m_image_decode_check",
@@ -48,7 +48,8 @@ object Verify {
     "s_snapshot_sink_check", "s_snapshot_prune_check",
     "s_snapshot_bloom_check", "s_stream_ingest_check",
     // graph: first entry builds the shared co-purchase graph
-    "g_degree", "g_degree_centrality", "i_simple_path", "g_bfs",
+    "g_degree", "g_degree_centrality", "i_simple_path",
+    "i_gremlin_repeat", "g_bfs",
     "g_bfs_parents", "g_wcc", "g_wcc_incr_check", "g_pagerank",
     "g_pregel_pagerank",
     "g_pregel_pagerank_agg", "g_pregel_sssp", "g_pregel_tc",

@@ -1,0 +1,446 @@
+package graft.gremlin
+
+import graft.graph.PropertyGraph
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gremlin-subset text front-end: parses a traversal string and compiles
+  * it onto the engine's DataFrame operator surface — the analogue of the
+  * reference's frontend compiler, which parses Gremlin to a TreeNode
+  * chain and lowers it to dataflow operators
+  * (interactive_engine/src/frontend/compiler/.../tree/, e.g.
+  * GraphTraversalTreeBuilder + 84 TreeNode classes;
+  * optimize/LogicalPlanOptimizer.java:53-69). Here the lowering target
+  * is declarative DataFrame plans, so the optimizer half of that
+  * pipeline IS Catalyst: every step below becomes joins / filters /
+  * aggregations with no UDFs, no collects and no per-traverser driver
+  * loops — the compiled plan is the same shape a hand-written
+  * combinator query produces, and scales the same way.
+  *
+  * Supported surface (the steps the reference's own test traversals use,
+  * §2.4 operator inventory):
+  *   g.V() | g.V(id, ...) — start from all / specific vertices
+  *   hasLabel('l')        — label filter
+  *   has('p', lit)        — property equality
+  *   has('p', P)          — P = eq/neq/gt/gte/lt/lte/within/without
+  *   out/in/both('e'?)    — adjacency hop (optional edge-label filter)
+  *   repeat(<hops>).times(k) — k-fold unrolled hop chain
+  *   dedup()              — per-position traverser dedup
+  *   id()                 — project vertex ids
+  *   values('p')          — project one property
+  *   count()              — global count
+  *   groupCount().by('p') — value histogram
+  *   sum/min/max/mean('p') — global numeric aggregate
+  *   order().by('p' [, asc|desc]).by(...)  — deterministic sort
+  *   limit(n) / range(a, b)                — ordered slice
+  *
+  * Traverser semantics are Gremlin's bag semantics: hops multiply rows
+  * per path (no implicit dedup), `dedup()` collapses them. Traverser
+  * state is kept PER VERTEX LABEL (a Map[label -> DataFrame] of the
+  * label's typed property frame plus a path-multiplicity-preserving row
+  * bag), mirroring the reference's label-partitioned fragments — a hop
+  * fans out through every matching (srcLabel, edgeLabel, dstLabel)
+  * relation, so multi-label traversals never pay a lowest-common-schema
+  * union until a terminal step demands one.
+  *
+  * `limit`/`range` require a preceding `order()` — an unordered slice is
+  * nondeterministic on a distributed bag, and the reference's own
+  * range() carries the same caveat; we make it a parse-time error
+  * instead of a silent nondeterminism.
+  */
+object Gremlin {
+
+  // ---------- AST ----------
+
+  sealed trait Arg
+  final case class SArg(v: String) extends Arg
+  final case class LArg(v: Long) extends Arg
+  final case class DArg(v: Double) extends Arg
+  final case class IdentArg(v: String) extends Arg // asc / desc
+  final case class PredArg(op: String, args: Seq[Arg]) extends Arg
+  final case class StepsArg(steps: Seq[Step]) extends Arg // repeat(...)
+
+  final case class Step(name: String, args: Seq[Arg])
+
+  final case class ParseException(msg: String)
+    extends IllegalArgumentException(msg)
+
+  // ---------- tokenizer ----------
+
+  private sealed trait Tok
+  private final case class TIdent(s: String) extends Tok
+  private final case class TStr(s: String) extends Tok
+  private final case class TNum(s: String) extends Tok
+  private final case class TPunct(c: Char) extends Tok
+
+  private def tokenize(q: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < q.length) {
+      val c = q(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'' || c == '"') {
+        val close = q.indexOf(c, i + 1)
+        if (close < 0) throw ParseException(s"unterminated string at $i")
+        out += TStr(q.substring(i + 1, close)); i = close + 1
+      } else if (c.isDigit || (c == '-' && i + 1 < q.length
+          && q(i + 1).isDigit)) {
+        val j = q.indexWhere(
+          ch => !(ch.isDigit || ch == '.' || ch == '-' || ch == 'e'
+            || ch == 'E'), i)
+        val end = if (j < 0) q.length else j
+        out += TNum(q.substring(i, end)); i = end
+      } else if (c.isLetter || c == '_') {
+        val j = q.indexWhere(ch => !(ch.isLetterOrDigit || ch == '_'), i)
+        val end = if (j < 0) q.length else j
+        out += TIdent(q.substring(i, end)); i = end
+      } else if (c == '(' || c == ')' || c == '.' || c == ',') {
+        out += TPunct(c); i += 1
+      } else throw ParseException(s"unexpected character '$c' at $i")
+    }
+    out.result()
+  }
+
+  // ---------- parser (recursive descent) ----------
+
+  private val predNames =
+    Set("eq", "neq", "gt", "gte", "lt", "lte", "within", "without")
+
+  private final class P(toks: Vector[Tok]) {
+    private var pos = 0
+    def eof: Boolean = pos >= toks.length
+    private def peek: Tok =
+      if (eof) throw ParseException("unexpected end of traversal")
+      else toks(pos)
+    private def next(): Tok = { val t = peek; pos += 1; t }
+    private def expect(c: Char): Unit = next() match {
+      case TPunct(`c`) => ()
+      case t => throw ParseException(s"expected '$c', got $t")
+    }
+
+    def traversal(): Seq[Step] = {
+      next() match {
+        case TIdent("g") => ()
+        case t => throw ParseException(s"traversal must start with g, got $t")
+      }
+      val steps = Seq.newBuilder[Step]
+      while (!eof) { expect('.'); steps += step() }
+      steps.result()
+    }
+
+    /** An anonymous step chain (inside repeat(...)): out('x').in(). */
+    def anonChain(): Seq[Step] = {
+      val steps = Seq.newBuilder[Step]
+      steps += step()
+      while (!eof && peek == TPunct('.')
+          && { pos += 1; true }) steps += step()
+      steps.result()
+    }
+
+    private def step(): Step = next() match {
+      case TIdent(name) =>
+        expect('(')
+        val args = Seq.newBuilder[Arg]
+        if (peek != TPunct(')')) {
+          args += arg()
+          while (peek == TPunct(',')) { pos += 1; args += arg() }
+        }
+        expect(')')
+        Step(name, args.result())
+      case t => throw ParseException(s"expected step name, got $t")
+    }
+
+    private def arg(): Arg = peek match {
+      case TStr(s) => pos += 1; SArg(s)
+      case TNum(s) =>
+        pos += 1
+        if (s.exists(ch => ch == '.' || ch == 'e' || ch == 'E'))
+          DArg(s.toDouble)
+        else LArg(s.toLong)
+      case TIdent(name) if predNames(name) =>
+        pos += 1; expect('(')
+        val as = Seq.newBuilder[Arg]
+        if (peek != TPunct(')')) {
+          as += arg()
+          while (peek == TPunct(',')) { pos += 1; as += arg() }
+        }
+        expect(')')
+        PredArg(name, as.result())
+      case TIdent(name)
+          if toks.lift(pos + 1).contains(TPunct('(')) =>
+        // anonymous sub-traversal: out('x').in() inside repeat(...)
+        StepsArg(anonChain())
+      case TIdent(name) => pos += 1; IdentArg(name)
+      case t => throw ParseException(s"unexpected argument token $t")
+    }
+  }
+
+  def parse(query: String): Seq[Step] = {
+    val steps = new P(tokenize(query)).traversal()
+    if (steps.isEmpty) throw ParseException("empty traversal")
+    steps
+  }
+
+  // ---------- compiler ----------
+
+  /** Traverser bag, one property frame per live vertex label. Each frame
+    * keeps the label's full property columns plus `vid`; row multiplicity
+    * IS path multiplicity. */
+  private final case class VState(frames: Map[String, DataFrame])
+
+  private def litCol(a: Arg): Column = a match {
+    case SArg(s) => lit(s)
+    case LArg(v) => lit(v)
+    case DArg(v) => lit(v)
+    case other => throw ParseException(s"expected a literal, got $other")
+  }
+
+  private def predicate(c: Column, p: Arg): Column = p match {
+    case PredArg("eq", Seq(v)) => c === litCol(v)
+    case PredArg("neq", Seq(v)) => c =!= litCol(v)
+    case PredArg("gt", Seq(v)) => c > litCol(v)
+    case PredArg("gte", Seq(v)) => c >= litCol(v)
+    case PredArg("lt", Seq(v)) => c < litCol(v)
+    case PredArg("lte", Seq(v)) => c <= litCol(v)
+    case PredArg("within", vs) if vs.nonEmpty => c.isin(vs.map {
+      case SArg(s) => s: Any
+      case LArg(v) => v: Any
+      case DArg(v) => v: Any
+      case o => throw ParseException(s"within() takes literals, got $o")
+    }: _*)
+    case PredArg("without", vs) if vs.nonEmpty =>
+      !predicate(c, PredArg("within", vs))
+    case lit0 @ (SArg(_) | LArg(_) | DArg(_)) => c === litCol(lit0)
+    case other => throw ParseException(s"unsupported predicate $other")
+  }
+
+  /** One adjacency hop. Fans out through every (srcL, eL, dstL) edge
+    * relation whose edge label matches (all of them when unspecified)
+    * and whose srcL is live; lands on dstL's property frame. Plain
+    * inner joins — Catalyst picks broadcast vs shuffle per side. */
+  private def hop(g: PropertyGraph, st: VState, edgeLabel: Option[String],
+      dir: String): VState = {
+    val rels = g.edgeLabels.toSeq.filter { case ((_, e, _), _) =>
+      edgeLabel.forall(_ == e)
+    }
+    if (rels.isEmpty && edgeLabel.isDefined)
+      throw ParseException(s"unknown edge label '${edgeLabel.get}'")
+    def oneWay(from: ((String, String, String), DataFrame) => Option[
+        (String, String, DataFrame)]): Seq[(String, DataFrame)] =
+      rels.flatMap { case (key, e) => from(key, e) }.flatMap {
+        case (fromL, toL, edges) =>
+          st.frames.get(fromL).map { f =>
+            val hopped = f.select(col("vid").as("__from"))
+              .join(edges.select(col("src").as("__from"),
+                col("dst").as("vid")), "__from")
+              .drop("__from")
+            toL -> hopped.join(g.vertexLabels(toL), Seq("vid"))
+          }
+      }
+    val parts: Seq[(String, DataFrame)] = dir match {
+      case "out" => oneWay { case ((s, _, d), e) => Some((s, d, e)) }
+      case "in" => oneWay { case ((s, _, d), e) =>
+        Some((d, s, e.select(col("dst").as("src"), col("src").as("dst")))) }
+      case "both" =>
+        oneWay { case ((s, _, d), e) => Some((s, d, e)) } ++
+          oneWay { case ((s, _, d), e) => Some((d, s,
+            e.select(col("dst").as("src"), col("src").as("dst")))) }
+    }
+    val merged = parts.groupBy(_._1).map { case (l, fs) =>
+      l -> fs.map(_._2).reduce(_.unionByName(_))
+    }
+    VState(merged)
+  }
+
+  /** Lowest-common-schema union of the live label frames: (label, vid)
+    * — the only cross-label materialization, paid at terminals only. */
+  private def bag(st: VState): DataFrame = {
+    require(st.frames.nonEmpty, "empty traverser state")
+    st.frames.toSeq.sortBy(_._1).map { case (l, f) =>
+      f.select(lit(l).as("label"), col("vid"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Frames that carry property `p`, projected to just that value. */
+  private def valueBag(st: VState, p: String): DataFrame = {
+    val have = st.frames.values.filter(_.columns.contains(p)).toSeq
+    if (have.isEmpty)
+      throw ParseException(s"no live vertex label has property '$p'")
+    have.map(_.select(col(p))).reduce(_.unionByName(_))
+  }
+
+  private def orderKeys(bys: Seq[Step]): Seq[Column] =
+    bys.map { by =>
+      by.args match {
+        case Seq(SArg(p)) => col(p).asc
+        case Seq(SArg(p), IdentArg("asc")) => col(p).asc
+        case Seq(SArg(p), IdentArg("desc")) => col(p).desc
+        case other => throw ParseException(s"unsupported by($other)")
+      }
+    }
+
+  /** Compile + run. Returns a DataFrame whose schema depends on the
+    * terminal step — see the object scaladoc. */
+  def run(g: PropertyGraph, query: String): DataFrame = {
+    val steps = parse(query)
+    if (steps.head.name != "V")
+      throw ParseException("traversal must start with g.V(...)")
+
+    var st = VState(steps.head.args match {
+      case Seq() => g.vertexLabels
+      case ids =>
+        val vids = ids.map { case LArg(v) => v
+          case o => throw ParseException(s"V() takes long ids, got $o") }
+        g.vertexLabels.map { case (l, f) =>
+          l -> f.where(col("vid").isin(vids: _*))
+        }
+    })
+
+    var out: DataFrame = null // set by a terminal step
+    var sortCols: Seq[Column] = Nil // set by order(), used by limit/range
+
+    def requireOpen(name: String): Unit =
+      if (out != null) throw ParseException(
+        s"step $name after a terminal step")
+
+    def applyHops(hops: Seq[Step]): Unit = hops.foreach { h =>
+      val el = h.args match {
+        case Seq() => None
+        case Seq(SArg(e)) => Some(e)
+        case o => throw ParseException(s"unsupported hop args $o")
+      }
+      h.name match {
+        case "out" | "in" | "both" => st = hop(g, st, el, h.name)
+        case o => throw ParseException(s"repeat() supports hops only: $o")
+      }
+    }
+
+    var i = 1
+    while (i < steps.length) {
+      val s = steps(i)
+      // collect trailing .by(...) modulators for this step
+      val bys = steps.drop(i + 1).takeWhile(_.name == "by")
+      s.name match {
+        case "hasLabel" =>
+          requireOpen(s.name)
+          val wanted = s.args.map {
+            case SArg(l) => l
+            case o => throw ParseException(s"hasLabel takes strings: $o")
+          }.toSet
+          st = VState(st.frames.view.filterKeys(wanted).toMap)
+          if (st.frames.isEmpty) throw ParseException(
+            s"hasLabel(${wanted.mkString(",")}) matches no vertex label")
+        case "has" =>
+          requireOpen(s.name)
+          val (p, pred) = s.args match {
+            case Seq(SArg(p0), pr) => (p0, pr)
+            case o => throw ParseException(s"unsupported has args $o")
+          }
+          // a label lacking the property can never satisfy has(): drop it
+          st = VState(st.frames.filter(_._2.columns.contains(p))
+            .map { case (l, f) =>
+              l -> f.where(predicate(col(p), pred))
+            })
+          if (st.frames.isEmpty) throw ParseException(
+            s"no live vertex label has property '$p'")
+        case "out" | "in" | "both" =>
+          requireOpen(s.name); applyHops(Seq(s))
+        case "repeat" =>
+          requireOpen(s.name)
+          val body = s.args match {
+            case Seq(StepsArg(inner)) => inner
+            case o => throw ParseException(s"repeat takes a traversal: $o")
+          }
+          val times = steps.lift(i + 1) match {
+            case Some(Step("times", Seq(LArg(k)))) if k >= 1 => k.toInt
+            case _ => throw ParseException(
+              "repeat(...) must be followed by times(k), k >= 1")
+          }
+          (0 until times).foreach(_ => applyHops(body))
+          i += 1 // consume times()
+        case "dedup" =>
+          requireOpen(s.name)
+          st = VState(st.frames.map { case (l, f) => l -> f.distinct() })
+        case "id" =>
+          requireOpen(s.name)
+          out = bag(st).select(col("vid"))
+        case "values" =>
+          requireOpen(s.name)
+          val p = s.args match {
+            case Seq(SArg(p0)) => p0
+            case o => throw ParseException(s"values takes one prop: $o")
+          }
+          out = valueBag(st, p)
+        case "count" =>
+          requireOpen(s.name)
+          out = bag(st).agg(count(lit(1)).as("cnt"))
+        case "groupCount" =>
+          requireOpen(s.name)
+          val p = bys match {
+            case Seq(Step("by", Seq(SArg(p0)))) => p0
+            case _ => throw ParseException(
+              "groupCount() needs exactly one .by('prop')")
+          }
+          out = valueBag(st, p).groupBy(col(p).as("k"))
+            .agg(count(lit(1)).as("cnt"))
+          i += 1 // consume by()
+        case "sum" | "min" | "max" | "mean" =>
+          requireOpen(s.name)
+          val p = s.args match {
+            case Seq(SArg(p0)) => p0
+            case o => throw ParseException(s"${s.name} takes one prop: $o")
+          }
+          val v = valueBag(st, p)
+          out = s.name match {
+            case "sum" => v.agg(sum(col(p)).as("value"))
+            case "min" => v.agg(min(col(p)).as("value"))
+            case "max" => v.agg(max(col(p)).as("value"))
+            case "mean" => v.agg(avg(col(p)).as("value"))
+          }
+        case "order" =>
+          requireOpen(s.name)
+          if (bys.isEmpty) throw ParseException(
+            "order() needs at least one .by('prop' [, asc|desc])")
+          // order is terminal-shaping: produce the widest common frame
+          // (intersection of live labels' columns) so by-keys resolve
+          val common = st.frames.values.map(_.columns.toSet)
+            .reduce(_ intersect _)
+          val df = st.frames.toSeq.sortBy(_._1).map { case (l, f) =>
+            f.select(lit(l).as("label") +:
+              common.toSeq.sorted.map(col): _*)
+          }.reduce(_.unionByName(_))
+          sortCols = orderKeys(bys)
+          out = df.orderBy(sortCols: _*)
+          i += bys.length // consume the by()s
+        case "limit" | "range" =>
+          if (out == null || sortCols.isEmpty) throw ParseException(
+            s"${s.name}() requires a preceding order() — an unordered " +
+              "slice of a distributed bag is nondeterministic")
+          val (a, b) = (s.name, s.args) match {
+            case ("limit", Seq(LArg(n))) => (0L, n)
+            case ("range", Seq(LArg(x), LArg(y))) if y >= x => (x, y)
+            case o => throw ParseException(s"unsupported ${s.name} args $o")
+          }
+          // orderBy.limit is Spark's distributed TakeOrderedAndProject —
+          // only b rows ever reach one place. A range offset re-ranks
+          // just that b-row prefix (the sort keys may be non-unique, so
+          // the window over the SAME keys keeps the slice deterministic
+          // up to key ties, exactly Gremlin's contract).
+          out = out.limit(b.toInt)
+          if (a > 0) {
+            val w = org.apache.spark.sql.expressions.Window
+              .orderBy(sortCols: _*)
+            out = out.withColumn("__rn", row_number().over(w))
+              .where(col("__rn") > a).drop("__rn")
+          }
+        case "by" =>
+          throw ParseException("stray .by() — only order()/groupCount() " +
+            "accept by modulators")
+        case other => throw ParseException(s"unsupported step: $other")
+      }
+      i += 1
+    }
+    if (out == null) out = bag(st)
+    out
+  }
+}

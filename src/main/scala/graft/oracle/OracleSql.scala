@@ -768,6 +768,27 @@ object OracleSql {
       |GROUP BY 1
       |""".stripMargin
 
+  /** SQL replay of the i_gremlin traversal text (see Queries.iGremlin):
+    * customer-segment filter, placed-hop, price filter, deterministic
+    * top-25 by (o_totalprice desc, vid asc) — per-row doubles, exact. */
+  val iGremlin: String =
+    """SELECT 'orders' AS label, o.o_totalprice AS o_totalprice,
+      |       CAST(o.o_orderkey AS BIGINT) AS vid
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+      |  AND o.o_totalprice > 50000.0
+      |ORDER BY o.o_totalprice DESC, vid ASC
+      |LIMIT 25
+      |""".stripMargin
+
+  /** SQL replay of i_gremlin_repeat: the 2-hop path count of the
+    * co-purchase graph (bag semantics — no dedup). */
+  val iGremlinRepeat: String =
+    s"""WITH $graphCtes
+       |SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+       |FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+       |""".stripMargin
+
   /** 2-hop simple paths from the min vertex of the co-purchase graph. */
   val iSimplePath: String =
     s"""WITH $graphCtes

@@ -47,7 +47,7 @@ class OracleConsistencySpec extends SparkSpec {
     "i_range_local", "i_dedup", "i_union", "i_semi_join", "i_anti_join",
     "i_aggs", "i_math", "i_fold_unfold",
     "i_sample", "i_estimate_count", "i_predicates", "i_simple_path",
-    "i_case_when",
+    "i_case_when", "i_gremlin", "i_gremlin_repeat",
     "d_exact_dedup", "d_token_count", "d_quality", "d_langid",
     "e_cos_neardup", "m_frame_sample", "m_media_features",
     // self-check queries vs their constant oracles (the Spark side must

@@ -509,6 +509,32 @@ object Queries {
       "g.V().repeat(out('copurchase')).times(2).count()")
   }
 
+  /** i_gremlin_where: where()/not() existence sub-traversals through the
+    * text front-end (reference: WherePredicateTreeNode / NotTreeNode in
+    * interactive_engine/src/frontend/compiler/.../tree/) — customers with
+    * at least one order over the price floor and NO urgent order,
+    * compiled to a LEFT SEMI + LEFT ANTI join pair on narrow distinct
+    * root relations; the oracle replays both as EXISTS / NOT EXISTS. */
+  def iGremlinWhere(spark: SparkSession, dir: String): DataFrame = {
+    val customers = t(spark, dir, "customer").select(
+      col("c_custkey").cast("long").as("vid"),
+      col("c_mktsegment"))
+    val orders = t(spark, dir, "orders").select(
+      col("o_orderkey").cast("long").as("vid"),
+      col("o_totalprice"), col("o_orderpriority"))
+    val placed = t(spark, dir, "orders").select(
+      col("o_custkey").cast("long").as("src"),
+      col("o_orderkey").cast("long").as("dst"))
+    val pg = graft.graph.PropertyGraph(
+      Map("customer" -> customers, "orders" -> orders),
+      Map(("customer", "placed", "orders") -> placed))
+    graft.gremlin.Gremlin.run(pg,
+      "g.V().hasLabel('customer')" +
+        ".where(out('placed').has('o_totalprice', gt(150000.0)))" +
+        ".not(out('placed').has('o_orderpriority', eq('1-URGENT')))" +
+        ".order().by('vid', asc).limit(100)")
+  }
+
   /** PATH history + SIMPLE_PATH (unarystep/filter.rs:362, PATH_OUT op 29):
     * 2-hop traversal from the min vertex carrying the path as a
     * collect-style struct column, simple-path filtered (no revisits),

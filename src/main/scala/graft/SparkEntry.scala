@@ -74,6 +74,7 @@ object SparkEntry {
     "i_simple_path" -> (Queries.iSimplePath(_, _)),
     "i_gremlin" -> (Queries.iGremlin(_, _)),
     "i_gremlin_repeat" -> (Queries.iGremlinRepeat(_, _)),
+    "i_gremlin_where" -> (Queries.iGremlinWhere(_, _)),
     // Pregel UDF surface (§2.6): fixed-round, convergence-gated, and
     // array-message programs on the same generic runner
     "g_pregel_pagerank" -> (Queries.pregelPagerank(_, _)),
@@ -187,6 +188,7 @@ object SparkEntry {
     "i_simple_path" -> OracleSql.iSimplePath,
     "i_gremlin" -> OracleSql.iGremlin,
     "i_gremlin_repeat" -> OracleSql.iGremlinRepeat,
+    "i_gremlin_where" -> OracleSql.iGremlinWhere,
     "e_cos_neardup" -> OracleSql.eCosNearDup,
     "e_ann_topk" -> OracleSql.eAnnTopk,
     "e_ann_lsh" -> OracleSql.eAnnLshOk,

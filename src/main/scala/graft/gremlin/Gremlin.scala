@@ -23,8 +23,16 @@ import org.apache.spark.sql.functions._
   *   hasLabel('l')        — label filter
   *   has('p', lit)        — property equality
   *   has('p', P)          — P = eq/neq/gt/gte/lt/lte/within/without
+  *   has('l', 'p', P)     — label + property filter in one step
+  *   hasNot('p')          — property-absent filter
   *   out/in/both('e'?)    — adjacency hop (optional edge-label filter)
-  *   repeat(<hops>).times(k) — k-fold unrolled hop chain
+  *   repeat(<sub>).times(k) — k-fold unrolled sub-traversal
+  *   where(<sub>) / not(<sub>) — existence filter: keep traversers whose
+  *                        sub-traversal yields >=1 (resp. 0) results —
+  *                        compiled to LEFT SEMI / LEFT ANTI joins on a
+  *                        narrow distinct root relation, never
+  *                        materializing the sub-traversal bag per path
+  *   union(<sub>, ...)    — bag union of per-branch sub-traversals
   *   dedup()              — per-position traverser dedup
   *   id()                 — project vertex ids
   *   values('p')          — project one property
@@ -214,6 +222,12 @@ object Gremlin {
     case other => throw ParseException(s"unsupported predicate $other")
   }
 
+  /** Sub-traversal root markers (`__gr_`-prefixed) thread through hops
+    * untouched so where()/not() can map survivors back to their source
+    * traverser. */
+  private def carried(f: DataFrame): Seq[Column] =
+    f.columns.toSeq.filter(_.startsWith("__gr_")).map(col)
+
   /** One adjacency hop. Fans out through every (srcL, eL, dstL) edge
     * relation whose edge label matches (all of them when unspecified)
     * and whose srcL is live; lands on dstL's property frame. Plain
@@ -230,7 +244,7 @@ object Gremlin {
       rels.flatMap { case (key, e) => from(key, e) }.flatMap {
         case (fromL, toL, edges) =>
           st.frames.get(fromL).map { f =>
-            val hopped = f.select(col("vid").as("__from"))
+            val hopped = f.select(col("vid").as("__from") +: carried(f): _*)
               .join(edges.select(col("src").as("__from"),
                 col("dst").as("vid")), "__from")
               .drop("__from")
@@ -279,6 +293,128 @@ object Gremlin {
       }
     }
 
+  /** has('p', pred) over the live frames. A label lacking the property
+    * can never satisfy has(), so its frame is dropped; in strict mode
+    * (top level) dropping every label is a parse-time error, in a
+    * sub-traversal it just means the sub-traversal has no results. */
+  private def applyHas(st: VState, args: Seq[Arg],
+      strict: Boolean): VState = {
+    val (p, pred) = args match {
+      case Seq(SArg(p0), pr) => (p0, pr)
+      case o => throw ParseException(s"unsupported has args $o")
+    }
+    val kept = VState(st.frames.filter(_._2.columns.contains(p))
+      .map { case (l, f) => l -> f.where(predicate(col(p), pred)) })
+    if (strict && kept.frames.isEmpty)
+      throw ParseException(s"no live vertex label has property '$p'")
+    kept
+  }
+
+  /** hasNot('p'): keep traversers WITHOUT the property — labels lacking
+    * the column pass whole, labels carrying it keep null rows only. */
+  private def applyHasNot(st: VState, args: Seq[Arg]): VState = {
+    val p = args match {
+      case Seq(SArg(p0)) => p0
+      case o => throw ParseException(s"hasNot takes one property: $o")
+    }
+    VState(st.frames.map { case (l, f) =>
+      l -> (if (f.columns.contains(p)) f.where(col(p).isNull) else f)
+    })
+  }
+
+  /** Evaluate an anonymous step chain (the body of repeat()/where()/
+    * not()/union()) against a traverser state. Unlike the top-level
+    * loop this is TOLERANT: a filter that eliminates every label yields
+    * an empty state (the sub-traversal simply has no results) instead
+    * of an error — Gremlin's semantics for sub-traversals. Only the
+    * non-terminal filter/hop surface is allowed here; a terminal step
+    * inside a sub-traversal is a parse error. */
+  private def evalChain(g: PropertyGraph, st0: VState, body: Seq[Step],
+      depth: Int): VState = {
+    var st = st0
+    var i = 0
+    while (i < body.length) {
+      val s = body(i)
+      s.name match {
+        case "out" | "in" | "both" =>
+          val el = s.args match {
+            case Seq() => None
+            case Seq(SArg(e)) => Some(e)
+            case o => throw ParseException(s"unsupported hop args $o")
+          }
+          st = hop(g, st, el, s.name)
+        case "hasLabel" =>
+          val wanted = s.args.map {
+            case SArg(l) => l
+            case o => throw ParseException(s"hasLabel takes strings: $o")
+          }.toSet
+          st = VState(st.frames.view.filterKeys(wanted).toMap)
+        case "has" => st = applyHas(st, s.args, strict = false)
+        case "hasNot" => st = applyHasNot(st, s.args)
+        case "dedup" =>
+          st = VState(st.frames.map { case (l, f) => l -> f.distinct() })
+        case "repeat" =>
+          val inner = s.args match {
+            case Seq(StepsArg(b)) => b
+            case o => throw ParseException(s"repeat takes a traversal: $o")
+          }
+          body.lift(i + 1) match {
+            case Some(Step("times", Seq(LArg(k)))) if k >= 1 =>
+              (0 until k.toInt).foreach(_ =>
+                st = evalChain(g, st, inner, depth))
+              i += 1 // consume times()
+            case _ => throw ParseException(
+              "repeat(...) must be followed by times(k), k >= 1")
+          }
+        case "where" | "not" =>
+          val inner = s.args match {
+            case Seq(StepsArg(b)) => b
+            case o => throw ParseException(s"${s.name} takes a traversal: $o")
+          }
+          st = existFilter(g, st, s.name == "not", inner, depth + 1)
+        case o =>
+          throw ParseException(s"unsupported step in a sub-traversal: $o")
+      }
+      i += 1
+    }
+    st
+  }
+
+  /** where(sub) / not(sub): keep traversers for which the sub-traversal
+    * yields >=1 (resp. 0) results. Each live frame is stamped with a
+    * depth-suffixed root marker that hops thread through untouched; the
+    * survivors come back as ONE narrow distinct (rootLabel, rootVid)
+    * relation and each frame is LEFT SEMI (where) / LEFT ANTI (not)
+    * joined against its own label's slice of it — Spark's existence-join
+    * operators, so the sub-traversal bag is never materialized per path
+    * and Catalyst broadcasts the root relation when it is small.
+    * Existence depends only on the traverser's CURRENT vertex, so the
+    * join key is vid alone even under nesting. */
+  private def existFilter(g: PropertyGraph, st: VState, negate: Boolean,
+      body: Seq[Step], depth: Int): VState = {
+    val rv = s"__gr_root_$depth"
+    val rl = s"__gr_rootl_$depth"
+    val rooted = VState(st.frames.map { case (l, f) =>
+      l -> f.withColumn(rv, col("vid")).withColumn(rl, lit(l))
+    })
+    val end = evalChain(g, rooted, body, depth)
+    if (end.frames.isEmpty) {
+      // structurally empty sub-traversal: no traverser can ever match
+      if (negate) st
+      else VState(st.frames.map { case (l, f) => l -> f.where(lit(false)) })
+    } else {
+      val roots = end.frames.values.toSeq
+        .map(_.select(col(rl), col(rv)))
+        .reduce(_.unionByName(_)).distinct()
+      val joinType = if (negate) "left_anti" else "left_semi"
+      VState(st.frames.map { case (l, f) =>
+        l -> f.join(
+          roots.where(col(rl) === l).select(col(rv).as("vid")),
+          Seq("vid"), joinType)
+      })
+    }
+  }
+
   /** Compile + run. Returns a DataFrame whose schema depends on the
     * terminal step — see the object scaladoc. */
   def run(g: PropertyGraph, query: String): DataFrame = {
@@ -303,17 +439,11 @@ object Gremlin {
       if (out != null) throw ParseException(
         s"step $name after a terminal step")
 
-    def applyHops(hops: Seq[Step]): Unit = hops.foreach { h =>
-      val el = h.args match {
-        case Seq() => None
-        case Seq(SArg(e)) => Some(e)
-        case o => throw ParseException(s"unsupported hop args $o")
+    def subTraversal(name: String, args: Seq[Arg]): Seq[Step] =
+      args match {
+        case Seq(StepsArg(inner)) => inner
+        case o => throw ParseException(s"$name takes a traversal: $o")
       }
-      h.name match {
-        case "out" | "in" | "both" => st = hop(g, st, el, h.name)
-        case o => throw ParseException(s"repeat() supports hops only: $o")
-      }
-    }
 
     var i = 1
     while (i < steps.length) {
@@ -332,32 +462,54 @@ object Gremlin {
             s"hasLabel(${wanted.mkString(",")}) matches no vertex label")
         case "has" =>
           requireOpen(s.name)
-          val (p, pred) = s.args match {
-            case Seq(SArg(p0), pr) => (p0, pr)
-            case o => throw ParseException(s"unsupported has args $o")
+          s.args match {
+            case Seq(SArg(l0), SArg(p0), pr) => // has('label','prop',P)
+              if (!st.frames.contains(l0)) throw ParseException(
+                s"hasLabel($l0) matches no vertex label")
+              st = applyHas(
+                VState(st.frames.view.filterKeys(Set(l0)).toMap),
+                Seq(SArg(p0), pr), strict = true)
+            case other => st = applyHas(st, other, strict = true)
           }
-          // a label lacking the property can never satisfy has(): drop it
-          st = VState(st.frames.filter(_._2.columns.contains(p))
-            .map { case (l, f) =>
-              l -> f.where(predicate(col(p), pred))
-            })
-          if (st.frames.isEmpty) throw ParseException(
-            s"no live vertex label has property '$p'")
+        case "hasNot" =>
+          requireOpen(s.name); st = applyHasNot(st, s.args)
         case "out" | "in" | "both" =>
-          requireOpen(s.name); applyHops(Seq(s))
+          requireOpen(s.name)
+          val el = s.args match {
+            case Seq() => None
+            case Seq(SArg(e)) => Some(e)
+            case o => throw ParseException(s"unsupported hop args $o")
+          }
+          st = hop(g, st, el, s.name)
         case "repeat" =>
           requireOpen(s.name)
-          val body = s.args match {
-            case Seq(StepsArg(inner)) => inner
-            case o => throw ParseException(s"repeat takes a traversal: $o")
-          }
+          val body = subTraversal(s.name, s.args)
           val times = steps.lift(i + 1) match {
             case Some(Step("times", Seq(LArg(k)))) if k >= 1 => k.toInt
             case _ => throw ParseException(
               "repeat(...) must be followed by times(k), k >= 1")
           }
-          (0 until times).foreach(_ => applyHops(body))
+          (0 until times).foreach(_ => st = evalChain(g, st, body, 0))
           i += 1 // consume times()
+        case "where" | "not" =>
+          requireOpen(s.name)
+          st = existFilter(g, st, s.name == "not",
+            subTraversal(s.name, s.args), 1)
+        case "union" =>
+          requireOpen(s.name)
+          if (s.args.isEmpty)
+            throw ParseException("union() needs at least one branch")
+          val branches = s.args.map {
+            case StepsArg(inner) => inner
+            case o => throw ParseException(s"union takes traversals: $o")
+          }
+          val merged = branches.map(b => evalChain(g, st, b, 0))
+            .flatMap(_.frames.toSeq).groupBy(_._1).map { case (l, fs) =>
+              l -> fs.map(_._2).reduce(_.unionByName(_))
+            }
+          if (merged.isEmpty) throw ParseException(
+            "union(): every branch eliminated all vertex labels")
+          st = VState(merged)
         case "dedup" =>
           requireOpen(s.name)
           st = VState(st.frames.map { case (l, f) => l -> f.distinct() })

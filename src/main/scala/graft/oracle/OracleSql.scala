@@ -789,6 +789,22 @@ object OracleSql {
        |FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
        |""".stripMargin
 
+  /** SQL replay of i_gremlin_where: where()/not() existence
+    * sub-traversals == EXISTS / NOT EXISTS over the placed relation. */
+  val iGremlinWhere: String =
+    """SELECT 'customer' AS label, c.c_mktsegment AS c_mktsegment,
+      |       CAST(c.c_custkey AS BIGINT) AS vid
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 150000.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY vid ASC
+      |LIMIT 100
+      |""".stripMargin
+
   /** 2-hop simple paths from the min vertex of the co-purchase graph. */
   val iSimplePath: String =
     s"""WITH $graphCtes

@@ -145,6 +145,96 @@ class GremlinSpec extends SparkSpec {
     assert(df.select("name").head().getString(0) == "josh")
   }
 
+  test("where(sub) keeps traversers with >=1 sub-result (LEFT SEMI)") {
+    import spark.implicits._
+    // creators: marko, josh, peter
+    sameAs("g.V().where(out('created')).id()",
+      Seq(1L, 4L, 6L).toDF("vid"))
+    // persons who know someone over 30: marko (knows josh, 32)
+    sameAs("g.V().hasLabel('person').where(out('knows')" +
+      ".has('age', gt(30))).values('name')",
+      Seq("marko").toDF("name"))
+  }
+
+  test("not(sub) keeps traversers with 0 sub-results (LEFT ANTI)") {
+    import spark.implicits._
+    sameAs("g.V().not(out('created')).id()",
+      Seq(2L, 3L, 5L).toDF("vid"))
+    // nested: where(not(out())) == not(out()) — sinks only
+    sameAs("g.V().where(not(out())).id()",
+      Seq(2L, 3L, 5L).toDF("vid"))
+  }
+
+  test("where/not preserve bag multiplicity of the filtered traversers") {
+    // out('created') bag is [3,5,3,3]; keep only those with an in-edge
+    // from a person over 30 -> every created software qualifies (josh 32,
+    // peter 35 created; lop also by marko 29): all 4 traversers survive
+    assert(Gremlin.run(modern,
+      "g.V().out('created').where(in('created').has('age', gt(30)))" +
+        ".count()").head().getLong(0) == 4L)
+    // ripple's only creator is josh(32); lop has marko(29) too — require
+    // NO creator under 30: ripple only, reached once
+    assert(Gremlin.run(modern,
+      "g.V().out('created').not(in('created').has('age', lt(30)))" +
+        ".count()").head().getLong(0) == 1L)
+  }
+
+  test("hasNot keeps labels lacking the property") {
+    import spark.implicits._
+    sameAs("g.V().hasNot('age').id()", Seq(3L, 5L).toDF("vid"))
+    sameAs("g.V().hasNot('lang').hasNot('age').id()",
+      spark.emptyDataset[Long].toDF("vid"))
+  }
+
+  test("has('label','prop',P) three-arg form") {
+    import spark.implicits._
+    sameAs("g.V().has('person', 'age', gt(30)).values('name')",
+      Seq("josh", "peter").toDF("name"))
+    val e = intercept[Gremlin.ParseException](
+      Gremlin.run(modern, "g.V().has('robot', 'age', gt(1)).count()"))
+    assert(e.getMessage.contains("matches no vertex label"))
+  }
+
+  test("union of branches is a bag union from the same state") {
+    import spark.implicits._
+    sameAs("g.V(1).union(out('knows'), out('created')).id()",
+      Seq(2L, 4L, 3L).toDF("vid"))
+    // duplicates preserved across branches
+    assert(Gremlin.run(modern, "g.V(1).union(out(), out('knows')).count()")
+      .head().getLong(0) == 5L)
+  }
+
+  test("repeat body now takes filters, not just hops") {
+    // one hop then keep persons only (out() reaches vadas, josh + 4
+    // software; the has() keeps the 2 persons)
+    assert(Gremlin.run(modern,
+      "g.V().repeat(out().has('age', gte(0))).times(1).count()")
+      .head().getLong(0) == 2L)
+  }
+
+  test("where/not compile to semi/anti joins, no cartesian, no UDFs") {
+    val plan = Gremlin.run(modern,
+      "g.V().where(out('created')).not(out('knows')).id()")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(!plan.contains("Cartesian"), plan)
+  }
+
+  test("sub-traversal errors: terminals rejected, empty union rejected") {
+    def bad(q: String): String =
+      intercept[Gremlin.ParseException](
+        Gremlin.run(modern, q).collect()).getMessage
+    assert(bad("g.V().where(count())").contains("sub-traversal"))
+    assert(bad("g.V().union()").contains("at least one branch"))
+    // structurally empty sub-traversal: where -> nothing, not -> all
+    assert(Gremlin.run(modern, "g.V().where(hasLabel('robot')).count()")
+      .head().getLong(0) == 0L)
+    assert(Gremlin.run(modern, "g.V().not(hasLabel('robot')).count()")
+      .head().getLong(0) == 6L)
+  }
+
   test("parse errors: the documented contract") {
     def bad(q: String): String =
       intercept[Gremlin.ParseException](

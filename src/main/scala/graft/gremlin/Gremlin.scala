@@ -33,6 +33,13 @@ import org.apache.spark.sql.functions._
   *                        narrow distinct root relation, never
   *                        materializing the sub-traversal bag per path
   *   union(<sub>, ...)    — bag union of per-branch sub-traversals
+  *   as('x') ... select('x' [, 'y', ...]) — step labeling: as() stamps
+  *                        the current vertex id as a tag column that
+  *                        hops thread through; select() projects the
+  *                        tagged ids (one column per label), the
+  *                        Spark-native form of Gremlin's path
+  *                        projection. With tags live, dedup() collapses
+  *                        distinct (vertex, tags) projections.
   *   dedup()              — per-position traverser dedup
   *   id()                 — project vertex ids
   *   values('p')          — project one property
@@ -513,6 +520,30 @@ object Gremlin {
         case "dedup" =>
           requireOpen(s.name)
           st = VState(st.frames.map { case (l, f) => l -> f.distinct() })
+        case "as" =>
+          requireOpen(s.name)
+          val n = s.args match {
+            case Seq(SArg(n0)) => n0
+            case o => throw ParseException(s"as takes one step label: $o")
+          }
+          st = VState(st.frames.map { case (l, f) =>
+            l -> f.withColumn(s"__gr_as_$n", col("vid"))
+          })
+        case "select" =>
+          requireOpen(s.name)
+          val names = s.args.map {
+            case SArg(n0) => n0
+            case o => throw ParseException(s"select takes step labels: $o")
+          }
+          if (names.isEmpty)
+            throw ParseException("select() needs at least one step label")
+          names.foreach { n =>
+            if (!st.frames.values.forall(_.columns.contains(s"__gr_as_$n")))
+              throw ParseException(s"select('$n') has no upstream as('$n')")
+          }
+          out = st.frames.toSeq.sortBy(_._1).map { case (_, f) =>
+            f.select(names.map(n => col(s"__gr_as_$n").as(n)): _*)
+          }.reduce(_.unionByName(_))
         case "id" =>
           requireOpen(s.name)
           out = bag(st).select(col("vid"))
@@ -554,8 +585,10 @@ object Gremlin {
           if (bys.isEmpty) throw ParseException(
             "order() needs at least one .by('prop' [, asc|desc])")
           // order is terminal-shaping: produce the widest common frame
-          // (intersection of live labels' columns) so by-keys resolve
-          val common = st.frames.values.map(_.columns.toSet)
+          // (intersection of live labels' columns, markers excluded)
+          // so by-keys resolve
+          val common = st.frames.values
+            .map(_.columns.filterNot(_.startsWith("__gr_")).toSet)
             .reduce(_ intersect _)
           val df = st.frames.toSeq.sortBy(_._1).map { case (l, f) =>
             f.select(lit(l).as("label") +:

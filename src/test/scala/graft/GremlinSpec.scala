@@ -212,6 +212,27 @@ class GremlinSpec extends SparkSpec {
       .head().getLong(0) == 2L)
   }
 
+  test("as/select: tags thread through hops and project tagged ids") {
+    import spark.implicits._
+    // who created what: creator ids, bag semantics
+    sameAs("g.V().as('a').out('created').select('a')",
+      Seq(1L, 4L, 4L, 6L).toDF("a"))
+    // (creator, known) pairs
+    assert(rows(Gremlin.run(modern,
+      "g.V().as('a').out('knows').as('b').select('a', 'b')"))
+      == Seq(Seq(1L, 2L), Seq(1L, 4L)))
+    // tags survive an existence filter: persons who know someone
+    sameAs("g.V().as('a').where(out('knows')).select('a')",
+      Seq(1L).toDF("a"))
+    val e = intercept[Gremlin.ParseException](
+      Gremlin.run(modern, "g.V().select('z')"))
+    assert(e.getMessage.contains("no upstream as"))
+    // order() after as() never leaks marker columns
+    val df = Gremlin.run(modern,
+      "g.V().as('a').order().by('name').limit(2)")
+    assert(df.columns.forall(!_.startsWith("__gr_")), df.columns.toSeq)
+  }
+
   test("where/not compile to semi/anti joins, no cartesian, no UDFs") {
     val plan = Gremlin.run(modern,
       "g.V().where(out('created')).not(out('knows')).id()")

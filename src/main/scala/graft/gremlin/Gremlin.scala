@@ -42,9 +42,10 @@ import org.apache.spark.sql.functions._
   *                        distinct (vertex, tags) projections.
   *   dedup()              — per-position traverser dedup
   *   id()                 — project vertex ids
-  *   values('p')          — project one property
+  *   values('p', ...)     — project one or more properties
   *   count()              — global count
   *   groupCount().by('p') — value histogram
+  *   group().by('k').by(count()|sum/min/max/mean('p')) — keyed aggregate
   *   sum/min/max/mean('p') — global numeric aggregate
   *   order().by('p' [, asc|desc]).by(...)  — deterministic sort
   *   limit(n) / range(a, b)                — ordered slice
@@ -549,11 +550,19 @@ object Gremlin {
           out = bag(st).select(col("vid"))
         case "values" =>
           requireOpen(s.name)
-          val p = s.args match {
-            case Seq(SArg(p0)) => p0
-            case o => throw ParseException(s"values takes one prop: $o")
+          val ps = s.args.map {
+            case SArg(p0) => p0
+            case o => throw ParseException(s"values takes properties: $o")
           }
-          out = valueBag(st, p)
+          if (ps.isEmpty)
+            throw ParseException("values() needs at least one property")
+          val have = st.frames.toSeq.sortBy(_._1).map(_._2)
+            .filter(f => ps.forall(f.columns.contains))
+          if (have.isEmpty) throw ParseException(
+            s"no live vertex label has propert" +
+              s"${if (ps.size == 1) s"y '${ps.head}'" else s"ies $ps"}")
+          out = have.map(_.select(ps.map(col): _*))
+            .reduce(_.unionByName(_))
         case "count" =>
           requireOpen(s.name)
           out = bag(st).agg(count(lit(1)).as("cnt"))
@@ -567,6 +576,31 @@ object Gremlin {
           out = valueBag(st, p).groupBy(col(p).as("k"))
             .agg(count(lit(1)).as("cnt"))
           i += 1 // consume by()
+        case "group" =>
+          requireOpen(s.name)
+          val (k, aggName, aggArgs) = bys match {
+            case Seq(Step("by", Seq(SArg(k0))),
+                Step("by", Seq(StepsArg(Seq(Step(a, as0)))))) => (k0, a, as0)
+            case _ => throw ParseException(
+              "group() needs .by('key').by(count() | sum/min/max/mean('p'))")
+          }
+          val aggCol = (aggName, aggArgs) match {
+            case ("count", Seq()) => count(lit(1))
+            case ("sum", Seq(SArg(p))) => sum(col(p))
+            case ("min", Seq(SArg(p))) => min(col(p))
+            case ("max", Seq(SArg(p))) => max(col(p))
+            case ("mean", Seq(SArg(p))) => avg(col(p))
+            case o => throw ParseException(s"unsupported group aggregate $o")
+          }
+          val needed = k +: aggArgs.collect { case SArg(p) => p }
+          val have = st.frames.toSeq.sortBy(_._1).map(_._2)
+            .filter(f => needed.forall(f.columns.contains))
+          if (have.isEmpty) throw ParseException(
+            s"no live vertex label has properties $needed")
+          out = have.map(_.select(needed.distinct.map(col): _*))
+            .reduce(_.unionByName(_))
+            .groupBy(col(k).as("k")).agg(aggCol.as("value"))
+          i += 2 // consume both by()s
         case "sum" | "min" | "max" | "mean" =>
           requireOpen(s.name)
           val p = s.args match {

@@ -119,6 +119,30 @@ class GremlinSpec extends SparkSpec {
       Seq(("java", 4L)).toDF("k", "cnt"))
   }
 
+  test("group().by(key).by(aggregate) keyed aggregation") {
+    import spark.implicits._
+    sameAs("g.V().group().by('lang').by(count())",
+      Seq(("java", 2L)).toDF("k", "value"))
+    sameAs("g.V().out('created').group().by('lang').by(count())",
+      Seq(("java", 4L)).toDF("k", "value"))
+    sameAs("g.V().hasLabel('person').group().by('name').by(max('age'))",
+      Seq(("marko", 29L), ("vadas", 27L), ("josh", 32L), ("peter", 35L))
+        .toDF("k", "value"))
+    val e = intercept[Gremlin.ParseException](
+      Gremlin.run(modern, "g.V().group().by('lang')"))
+    assert(e.getMessage.contains("group() needs"))
+  }
+
+  test("values with several properties projects them together") {
+    import spark.implicits._
+    sameAs("g.V().hasLabel('software').values('name', 'lang')",
+      Seq(("lop", "java"), ("ripple", "java")).toDF("name", "lang"))
+    // only labels carrying ALL requested properties contribute
+    sameAs("g.V().values('name', 'age')",
+      Seq(("marko", 29L), ("vadas", 27L), ("josh", 32L), ("peter", 35L))
+        .toDF("name", "age"))
+  }
+
   test("sum / mean / min / max over a property") {
     assert(Gremlin.run(modern, "g.V().sum('age')").head()
       .getLong(0) == 123L)

@@ -26,6 +26,11 @@ import org.apache.spark.sql.functions._
   *   has('l', 'p', P)     — label + property filter in one step
   *   hasNot('p')          — property-absent filter
   *   out/in/both('e'?)    — adjacency hop (optional edge-label filter)
+  *   outE/inE('e'?) ... inV()/outV() — step onto incident edges (rows
+  *                        keyed per (srcL,eL,dstL) relation), filter on
+  *                        edge properties with has/hasNot, project with
+  *                        values/count/dedup, then land on the head
+  *                        (inV) or tail (outV) vertex frame
   *   repeat(<sub>).times(k) — k-fold unrolled sub-traversal
   *   where(<sub>) / not(<sub>) — existence filter: keep traversers whose
   *                        sub-traversal yields >=1 (resp. 0) results —
@@ -442,6 +447,10 @@ object Gremlin {
 
     var out: DataFrame = null // set by a terminal step
     var sortCols: Seq[Column] = Nil // set by order(), used by limit/range
+    // edge-mode traverser state (after outE/inE): one frame per
+    // (srcLabel, edgeLabel, dstLabel) relation, rows = (src, dst,
+    // ...edge props, markers); null while on vertices
+    var est: Map[(String, String, String), DataFrame] = null
 
     def requireOpen(name: String): Unit =
       if (out != null) throw ParseException(
@@ -453,12 +462,74 @@ object Gremlin {
         case o => throw ParseException(s"$name takes a traversal: $o")
       }
 
+    /** inV()/outV(): land edge traversers on the head (dst) / tail (src)
+      * vertex frame — Gremlin's absolute endpoint semantics. */
+    def land(toHead: Boolean): Unit = {
+      val parts = est.toSeq.map { case ((sL, _, dL), e) =>
+        val (endCol, endL) = if (toHead) ("dst", dL) else ("src", sL)
+        endL -> e.select(col(endCol).as("vid") +: carried(e): _*)
+          .join(g.vertexLabels(endL), Seq("vid"))
+      }
+      st = VState(parts.groupBy(_._1).map { case (l, fs) =>
+        l -> fs.map(_._2).reduce(_.unionByName(_))
+      })
+      est = null
+    }
+
     var i = 1
     while (i < steps.length) {
       val s = steps(i)
       // collect trailing .by(...) modulators for this step
       val bys = steps.drop(i + 1).takeWhile(_.name == "by")
-      s.name match {
+      if (est != null) s.name match { // ---- edge-mode steps ----
+        case "has" =>
+          requireOpen(s.name)
+          val (p, pred) = s.args match {
+            case Seq(SArg(p0), pr) => (p0, pr)
+            case o => throw ParseException(s"unsupported has args $o")
+          }
+          est = est.filter(_._2.columns.contains(p)).map { case (k, e) =>
+            k -> e.where(predicate(col(p), pred))
+          }
+          if (est.isEmpty) throw ParseException(
+            s"no live edge relation has property '$p'")
+        case "hasNot" =>
+          requireOpen(s.name)
+          val p = s.args match {
+            case Seq(SArg(p0)) => p0
+            case o => throw ParseException(s"hasNot takes one property: $o")
+          }
+          est = est.map { case (k, e) =>
+            k -> (if (e.columns.contains(p)) e.where(col(p).isNull) else e)
+          }
+        case "dedup" =>
+          requireOpen(s.name)
+          est = est.map { case (k, e) => k -> e.distinct() }
+        case "inV" => requireOpen(s.name); land(toHead = true)
+        case "outV" => requireOpen(s.name); land(toHead = false)
+        case "count" =>
+          requireOpen(s.name)
+          out = est.values.toSeq.map(_.select(lit(1).as("one")))
+            .reduce(_.unionByName(_)).agg(count(lit(1)).as("cnt"))
+        case "values" =>
+          requireOpen(s.name)
+          val ps = s.args.map {
+            case SArg(p0) => p0
+            case o => throw ParseException(s"values takes properties: $o")
+          }
+          if (ps.isEmpty)
+            throw ParseException("values() needs at least one property")
+          val have = est.toSeq.sortBy(_._1.toString).map(_._2)
+            .filter(e => ps.forall(e.columns.contains))
+          if (have.isEmpty) throw ParseException(
+            s"no live edge relation has properties $ps")
+          out = have.map(_.select(ps.map(col): _*))
+            .reduce(_.unionByName(_))
+        case o => throw ParseException(
+          s"step $o is not supported on edge traversers " +
+            "(use inV()/outV() to return to vertices)")
+      }
+      else s.name match {
         case "hasLabel" =>
           requireOpen(s.name)
           val wanted = s.args.map {
@@ -489,6 +560,35 @@ object Gremlin {
             case o => throw ParseException(s"unsupported hop args $o")
           }
           st = hop(g, st, el, s.name)
+        case "outE" | "inE" =>
+          requireOpen(s.name)
+          val el = s.args match {
+            case Seq() => None
+            case Seq(SArg(e)) => Some(e)
+            case o => throw ParseException(s"unsupported hop args $o")
+          }
+          val rels = g.edgeLabels.toSeq.filter { case ((_, e, _), _) =>
+            el.forall(_ == e)
+          }
+          if (rels.isEmpty && el.isDefined)
+            throw ParseException(s"unknown edge label '${el.get}'")
+          // step onto the incident edges: traverser rows become edge
+          // rows (with the vertex's markers threaded through), keyed by
+          // their full (srcL, eL, dstL) relation so edge-property
+          // schemas never union across relations
+          val anchorIsSrc = s.name == "outE"
+          est = rels.flatMap { case (key @ (sL, _, dL), e) =>
+            val anchorL = if (anchorIsSrc) sL else dL
+            val keyCol = if (anchorIsSrc) "src" else "dst"
+            st.frames.get(anchorL).map { f =>
+              key -> f.select(col("vid").as("__from") +: carried(f): _*)
+                .join(e.withColumn("__from", col(keyCol)), "__from")
+                .drop("__from")
+            }
+          }.toMap
+          if (est.isEmpty) throw ParseException(
+            s"${s.name}(${el.getOrElse("")}) reaches no edge relation " +
+              "from the live vertex labels")
         case "repeat" =>
           requireOpen(s.name)
           val body = subTraversal(s.name, s.args)
@@ -659,7 +759,13 @@ object Gremlin {
       }
       i += 1
     }
-    if (out == null) out = bag(st)
+    if (out == null) out = {
+      if (est != null) // edge bag: one row per edge traverser
+        est.toSeq.sortBy(_._1.toString).map { case ((_, eL, _), e) =>
+          e.select(lit(eL).as("label"), col("src"), col("dst"))
+        }.reduce(_.unionByName(_))
+      else bag(st)
+    }
     out
   }
 }

@@ -22,9 +22,10 @@ class GremlinSpec extends SparkSpec {
       .toDF("vid", "name", "age")
     val software = Seq((3L, "lop", "java"), (5L, "ripple", "java"))
       .toDF("vid", "name", "lang")
-    val knows = Seq((1L, 2L), (1L, 4L)).toDF("src", "dst")
-    val created = Seq((1L, 3L), (4L, 5L), (4L, 3L), (6L, 3L))
-      .toDF("src", "dst")
+    val knows = Seq((1L, 2L, 0.5), (1L, 4L, 1.0))
+      .toDF("src", "dst", "weight")
+    val created = Seq((1L, 3L, 0.4), (4L, 5L, 1.0), (4L, 3L, 0.4),
+      (6L, 3L, 0.2)).toDF("src", "dst", "weight")
     PropertyGraph(
       Map("person" -> person, "software" -> software),
       Map(("person", "knows", "person") -> knows,
@@ -255,6 +256,36 @@ class GremlinSpec extends SparkSpec {
     val df = Gremlin.run(modern,
       "g.V().as('a').order().by('name').limit(2)")
     assert(df.columns.forall(!_.startsWith("__gr_")), df.columns.toSeq)
+  }
+
+  test("outE/inE: edge-property filters, projections, inV/outV landing") {
+    import spark.implicits._
+    sameAs("g.V().outE('knows').values('weight')",
+      Seq(0.5, 1.0).toDF("weight"))
+    // strong created edges -> head vertices (bag: lop twice via 0.4s? no
+    // — gte(0.4) keeps (1,3,.4),(4,5,1.0),(4,3,.4))
+    sameAs("g.V().outE('created').has('weight', gte(0.4)).inV().id()",
+      Seq(3L, 5L, 3L).toDF("vid"))
+    // weak created edges seen from the head side -> tail creators
+    sameAs("g.V().inE('created').has('weight', lt(0.5)).outV()" +
+      ".values('name')",
+      Seq("marko", "josh", "peter").toDF("name"))
+    assert(Gremlin.run(modern, "g.V(1).outE().count()").head()
+      .getLong(0) == 3L)
+    // as-tags thread through the edge position
+    sameAs("g.V().as('a').outE('knows').has('weight', gt(0.6)).inV()" +
+      ".select('a')", Seq(1L).toDF("a"))
+    // no terminal: the edge bag itself
+    val bag = Gremlin.run(modern, "g.V().outE('knows')")
+    assert(bag.columns.toSeq == Seq("label", "src", "dst"))
+    assert(bag.count() == 2L)
+    // vertex steps are rejected on edge traversers
+    val e = intercept[Gremlin.ParseException](
+      Gremlin.run(modern, "g.V().outE().out()"))
+    assert(e.getMessage.contains("edge traversers"))
+    val e2 = intercept[Gremlin.ParseException](
+      Gremlin.run(modern, "g.V().outE().has('mass', gt(1)).count()"))
+    assert(e2.getMessage.contains("no live edge relation"))
   }
 
   test("where/not compile to semi/anti joins, no cartesian, no UDFs") {

@@ -535,6 +535,30 @@ object Queries {
         ".order().by('vid', asc).limit(100)")
   }
 
+  /** i_gremlin_edge: outE/inE edge traversers through the text
+    * front-end (reference: EdgeTreeNode/EdgeVertexTreeNode in
+    * interactive_engine/src/frontend/compiler/.../tree/) — step onto
+    * the contains edges (lineitem rows as edge properties), filter on
+    * an edge property, land on the part side, keyed aggregate; the
+    * oracle replays it as the plain lineitem-part join. */
+  def iGremlinEdge(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders").select(
+      col("o_orderkey").cast("long").as("vid"))
+    val parts = t(spark, dir, "part").select(
+      col("p_partkey").cast("long").as("vid"), col("p_brand"))
+    val contains = t(spark, dir, "lineitem").select(
+      col("l_orderkey").cast("long").as("src"),
+      col("l_partkey").cast("long").as("dst"),
+      col("l_quantity"))
+    val pg = graft.graph.PropertyGraph(
+      Map("orders" -> orders, "part" -> parts),
+      Map(("orders", "contains", "part") -> contains))
+    graft.gremlin.Gremlin.run(pg,
+      "g.V().hasLabel('orders').outE('contains')" +
+        ".has('l_quantity', gt(45.0)).inV()" +
+        ".group().by('p_brand').by(count())")
+  }
+
   /** PATH history + SIMPLE_PATH (unarystep/filter.rs:362, PATH_OUT op 29):
     * 2-hop traversal from the min vertex carrying the path as a
     * collect-style struct column, simple-path filtered (no revisits),

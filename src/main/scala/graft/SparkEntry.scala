@@ -75,6 +75,7 @@ object SparkEntry {
     "i_gremlin" -> (Queries.iGremlin(_, _)),
     "i_gremlin_repeat" -> (Queries.iGremlinRepeat(_, _)),
     "i_gremlin_where" -> (Queries.iGremlinWhere(_, _)),
+    "i_gremlin_edge" -> (Queries.iGremlinEdge(_, _)),
     // Pregel UDF surface (§2.6): fixed-round, convergence-gated, and
     // array-message programs on the same generic runner
     "g_pregel_pagerank" -> (Queries.pregelPagerank(_, _)),
@@ -189,6 +190,7 @@ object SparkEntry {
     "i_gremlin" -> OracleSql.iGremlin,
     "i_gremlin_repeat" -> OracleSql.iGremlinRepeat,
     "i_gremlin_where" -> OracleSql.iGremlinWhere,
+    "i_gremlin_edge" -> OracleSql.iGremlinEdge,
     "e_cos_neardup" -> OracleSql.eCosNearDup,
     "e_ann_topk" -> OracleSql.eAnnTopk,
     "e_ann_lsh" -> OracleSql.eAnnLshOk,

@@ -37,6 +37,7 @@ object Verify {
     "i_range_local", "i_dedup", "i_union", "i_semi_join", "i_anti_join",
     "i_aggs", "i_math", "i_fold_unfold", "i_sample", "i_estimate_count",
     "i_predicates", "i_case_when", "i_gremlin", "i_gremlin_where",
+    "i_gremlin_edge",
     "d_exact_dedup", "d_token_count", "d_quality", "d_langid",
     "d_fingerprint", "d_fingerprint_check", "d_simhash", "d_simhash_check",
     "m_frame_sample", "m_media_features", "m_image_decode_check",

@@ -805,6 +805,15 @@ object OracleSql {
       |LIMIT 100
       |""".stripMargin
 
+  /** SQL replay of i_gremlin_edge: outE/has/inV/group ==
+    * filtered lineitem-part join with a keyed count. */
+  val iGremlinEdge: String =
+    """SELECT p.p_brand AS k, COUNT(*) AS value
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE l.l_quantity > 45.0
+      |GROUP BY 1
+      |""".stripMargin
+
   /** 2-hop simple paths from the min vertex of the co-purchase graph. */
   val iSimplePath: String =
     s"""WITH $graphCtes
